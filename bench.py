@@ -1,0 +1,117 @@
+"""Headline benchmark: fused differentiable render, reference config.
+
+Reference renderer benchmark config (``tests/renderer_speed_benchmark.py:
+228-287``): triplane 3 x (32^2 planes, 32 ch), 256 samples/ray, MLPs
+trunk/opacity/color = 2/2/2 layers, hidden 32, 256x256 rays, forward +
+backward.  Prints ONE JSON line:
+    {"metric": ..., "value": rays/sec, "unit": "rays/s", "vs_baseline": ...}
+
+``vs_baseline`` is value / BASELINE_RAYS_PER_SEC where the baseline is the
+A100 Triton kernel throughput target implied by BASELINE.md ("within 1.5x of
+the A100 Triton baseline"); the repo publishes no numeric tables, so we use
+a 2.0M rays/s fwd+bwd estimate for this config as the comparison anchor.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+import lightplane_tpu as lt
+
+BASELINE_RAYS_PER_SEC = 2.0e6  # estimated A100 Triton fwd+bwd, 256^2 cfg
+
+IMAGE_SIZE = 256
+NUM_SAMPLES = 256
+RES = 32
+CHN = 32
+HIDDEN = 32
+
+
+def make_inputs(key):
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    dp = lt.init_decoder_params(
+        k1, n_layers_opacity=2, n_layers_trunk=2, n_layers_color=2,
+        input_chn=CHN, hidden_chn=HIDDEN, color_chn=3, opacity_init_bias=-2.0,
+    )
+    grid = [
+        jax.random.normal(k2, (1, 1, RES, RES, CHN)) * 0.1,
+        jax.random.normal(k3, (1, RES, 1, RES, CHN)) * 0.1,
+        jax.random.normal(k4, (1, RES, RES, 1, CHN)) * 0.1,
+    ]
+    n_rays = IMAGE_SIZE * IMAGE_SIZE
+    ys, xs = jnp.meshgrid(
+        jnp.linspace(-0.5, 0.5, IMAGE_SIZE),
+        jnp.linspace(-0.5, 0.5, IMAGE_SIZE),
+        indexing="ij",
+    )
+    directions = jnp.stack(
+        [xs.ravel(), ys.ravel(), jnp.ones(n_rays)], axis=-1
+    )
+    rays = lt.Rays(
+        directions=directions,
+        origins=jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (n_rays, 1)),
+        grid_idx=jnp.zeros((n_rays,), jnp.int32),
+        near=jnp.full((n_rays,), 1.0),
+        far=jnp.full((n_rays,), 3.0),
+        encoding=jax.random.normal(k5, (n_rays, HIDDEN)) * 0.1,
+    )
+    return rays, grid, dp
+
+
+def main():
+    rays, grid, dp = make_inputs(jax.random.PRNGKey(0))
+    n_rays = rays.directions.shape[0]
+
+    def loss_fn(grid, mlp_params, encoding):
+        import dataclasses
+
+        r = dataclasses.replace(rays, encoding=encoding)
+        d = dataclasses.replace(dp, mlp_params=mlp_params)
+        depth, nlt, feat = lt.lightplane_renderer(
+            r, grid, d, num_samples=NUM_SAMPLES, gain=1.0
+        )
+        return jnp.sum(feat) + jnp.sum(depth) + jnp.sum(nlt)
+
+    fwdbwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
+
+    args = (grid, dp.mlp_params, rays.encoding)
+    # warmup / compile
+    jax.block_until_ready(fwdbwd(*args))
+    jax.block_until_ready(fwdbwd(*args))
+
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fwdbwd(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    rays_per_sec = n_rays / dt
+
+    mem_mb = None
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            mem_mb = stats["peak_bytes_in_use"] / 2**20
+    except Exception:
+        pass
+
+    result = {
+        "metric": (
+            f"fused render fwd+bwd {IMAGE_SIZE}x{IMAGE_SIZE}, triplane "
+            f"{RES}^2x{CHN}ch, {NUM_SAMPLES} samples"
+        ),
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+    }
+    if mem_mb is not None:
+        result["peak_hbm_mb"] = round(mem_mb, 1)
+    result["step_ms"] = round(dt * 1e3, 2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

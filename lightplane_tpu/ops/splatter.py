@@ -1,0 +1,348 @@
+"""Fused, memory-efficient Lightplane splatter (the production 2D->3D path).
+
+TPU-native re-design of the reference's Triton splatter
+(``lightplane/lightplane_splatter.py:31-700`` + ``templates/splatter_fw.py``,
+``templates/splatter_bw.py``):
+
+* **Forward**: one ``lax.scan`` over march steps accumulating the splat into
+  the flat output grid held in the scan carry (deterministic scatter-add —
+  the atomics-free TPU replacement for ``tl.atomic_add``,
+  ``grid_sample_util.py:40-99``).  Features and unit "collision" weights are
+  splatted together in one pass (the reference launches a second C=1 kernel,
+  ``lightplane_splatter.py:507-539``), then the output is
+  ``features / clamp(weights, 1e-5)``.
+
+* **Backward** (``jax.custom_vjp``): the adjoint of a splat is a *gather* —
+  march again and sample the normalized incoming gradient at each step
+  (``templates/splatter_bw.py:75-180``).  As in the reference, the gradient
+  through the weight-grid denominator is deliberately not propagated
+  (``lightplane_splatter.py:608``) — and indeed carries no gradient w.r.t.
+  any differentiable input since the collision features are constant ones.
+  With an MLP + ``input_grid``, the per-step fused feature + MLP forward is
+  recomputed and gradients pulled back through a per-step ``jax.vjp``
+  (``templates/splatter_bw.py:183-394``).
+
+Only the inputs and the [V, 1] weight grid are saved between passes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid_sample import sample_grid_rep, splat_grid_rep
+from .misc_utils import (
+    check_grid_and_color_grid,
+    process_and_flatten_grid,
+    unflatten_grid,
+)
+from .mlp_utils import SplatterParams, _flattened_one_mlp_params_to_list
+from .naive_renderer import _contract_pi
+from .naive_splatter import WEIGHT_GRID_EPS
+from .rays import Rays
+from .renderer import _step_depth_delta, zero_cotangent
+
+
+@dataclasses.dataclass(frozen=True)
+class _SplatCfg:
+    num_samples: int
+    num_samples_inf: int
+    mask_out_of_bounds_samples: bool
+    contract_coords: bool
+    disparity_at_inf: float
+    output_grid_sizes: tuple       # ((B, D, H, W, C), ...)
+    input_grid_sizes: Optional[tuple]
+    n_hidden: tuple                # () if no MLP
+
+    @property
+    def tot_num_samples(self):
+        return self.num_samples + self.num_samples_inf
+
+    @property
+    def v_total(self):
+        return sum(int(np.prod(gs[:-1])) for gs in self.output_grid_sizes)
+
+    @property
+    def weight_grid_sizes(self):
+        return tuple(gs[:-1] + (1,) for gs in self.output_grid_sizes)
+
+    @property
+    def out_chn(self):
+        return int(self.output_grid_sizes[0][-1])
+
+
+def _step_fused_feature(cfg: _SplatCfg, pts, splatting_feature,
+                        input_grid_flat, mlp_params, grid_idx):
+    """The per-step splat vector: either the raw per-ray feature, or
+    MLP(input_grid[x] + splatting_feature) (reference
+    ``templates/splatter_fw.py:168-309``)."""
+    if len(cfg.n_hidden) == 0:
+        return splatting_feature
+    weights, biases = _flattened_one_mlp_params_to_list(
+        mlp_params, cfg.n_hidden
+    )
+    sampled = sample_grid_rep(
+        input_grid_flat, cfg.input_grid_sizes, pts, grid_idx,
+        cfg.mask_out_of_bounds_samples,
+    )
+    x = sampled + splatting_feature
+    for l in range(len(weights)):
+        x = x @ weights[l] + biases[l]
+        if l < len(weights) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+def _march_geometry(cfg, geom, s):
+    directions, origins, near, far, grid_idx = geom[:5]
+    t, _ = _step_depth_delta(cfg, near, far, s)
+    pts = origins + t[:, None] * directions
+    if cfg.contract_coords:
+        pts = _contract_pi(pts)
+    return pts
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _splat_core(cfg: _SplatCfg, geom, diff):
+    """Raw (un-normalized) splat accumulators ``(feat_grid, weight_grid)``.
+
+    Exposed un-normalized so (a) the no-gradient-through-the-denominator
+    semantics of the reference (``lightplane_splatter.py:608``) fall out of
+    the custom VJP ignoring the weight cotangent (the unit collision
+    features carry no dependence on any differentiable input anyway), and
+    (b) multi-chip data parallelism can ``psum`` the linear accumulators
+    before normalizing.
+    """
+    return _splat_fwd_impl(cfg, geom, diff)
+
+
+def _splat_fwd_impl(cfg: _SplatCfg, geom, diff):
+    directions, origins, near, far, grid_idx, valid_mask = geom
+    splatting_feature, input_grid_flat, mlp_params = diff
+    dtype = splatting_feature.dtype
+
+    def body(carry, s):
+        feat_grid, w_grid = carry
+        pts = _march_geometry(cfg, geom, s)
+        vec = _step_fused_feature(
+            cfg, pts, splatting_feature, input_grid_flat, mlp_params, grid_idx
+        )
+        vec = vec * valid_mask[:, None]
+        feat_grid = splat_grid_rep(
+            vec, feat_grid, cfg.output_grid_sizes, pts, grid_idx,
+            cfg.mask_out_of_bounds_samples,
+        )
+        w_grid = splat_grid_rep(
+            valid_mask[:, None], w_grid, cfg.weight_grid_sizes, pts, grid_idx,
+            cfg.mask_out_of_bounds_samples,
+        )
+        return (feat_grid, w_grid), None
+
+    init = (
+        jnp.zeros((cfg.v_total, cfg.out_chn), dtype),
+        jnp.zeros((cfg.v_total, 1), dtype),
+    )
+    (feat_grid, w_grid), _ = jax.lax.scan(
+        body, init, jnp.arange(cfg.tot_num_samples)
+    )
+    return feat_grid, w_grid
+
+
+def _splat_fwd(cfg, geom, diff):
+    out = _splat_fwd_impl(cfg, geom, diff)
+    return out, (geom, diff)
+
+
+def _splat_bwd(cfg: _SplatCfg, res, g_out):
+    geom, diff = res
+    directions, origins, near, far, grid_idx, valid_mask = geom
+    splatting_feature, input_grid_flat, mlp_params = diff
+
+    # weight-grid cotangent ignored: the unit collision features do not
+    # depend on any differentiable input (reference lightplane_splatter.py:608
+    # semantics)
+    g_feat_grid, _g_w_grid = g_out
+
+    def body(carry, s):
+        g_feat, g_igrid, g_mlp = carry
+        pts = _march_geometry(cfg, geom, s)
+        # adjoint of the splat is a gather of the incoming gradient
+        g_vec = sample_grid_rep(
+            g_feat_grid, cfg.output_grid_sizes, pts, grid_idx,
+            cfg.mask_out_of_bounds_samples,
+        ) * valid_mask[:, None]
+
+        if len(cfg.n_hidden) == 0:
+            return (g_feat + g_vec, g_igrid, g_mlp), None
+
+        def fused_of_diff(splatting_feature_, input_grid_flat_, mlp_params_):
+            return _step_fused_feature(
+                cfg, pts, splatting_feature_, input_grid_flat_, mlp_params_,
+                grid_idx,
+            )
+
+        _, step_vjp = jax.vjp(
+            fused_of_diff, splatting_feature, input_grid_flat, mlp_params
+        )
+        d_feat, d_igrid, d_mlp = step_vjp(g_vec)
+        return (g_feat + d_feat, g_igrid + d_igrid, g_mlp + d_mlp), None
+
+    init = (
+        jnp.zeros_like(splatting_feature),
+        None if input_grid_flat is None else jnp.zeros_like(input_grid_flat),
+        None if mlp_params is None else jnp.zeros_like(mlp_params),
+    )
+    (g_feat, g_igrid, g_mlp), _ = jax.lax.scan(
+        body, init, jnp.arange(cfg.tot_num_samples)
+    )
+    g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
+    return g_geom, (g_feat, g_igrid, g_mlp)
+
+
+_splat_core.defvjp(_splat_fwd, _splat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public functional API
+# ---------------------------------------------------------------------------
+
+
+def _normalize_output_grid_size(output_grid_size):
+    return tuple(tuple(int(s) for s in gs) for gs in output_grid_size)
+
+
+def lightplane_splatter_raw(
+    rays: Rays,
+    output_grid_size,
+    mlp_params: Optional[SplatterParams] = None,
+    input_grid=None,
+    *,
+    num_samples: int,
+    num_samples_inf: int = 0,
+    mask_out_of_bounds_samples: bool = False,
+    contract_coords: bool = False,
+    disparity_at_inf: float = 1e-5,
+    input_grid_sizes=None,
+):
+    """Un-normalized splat: returns flat ``(feature_grid [V, C],
+    weight_grid [V, 1])`` accumulators (linear in the ray set — psum-able
+    across device shards before normalization)."""
+    return _run_splatter(
+        rays, output_grid_size, mlp_params, input_grid,
+        num_samples, num_samples_inf, mask_out_of_bounds_samples,
+        contract_coords, disparity_at_inf, input_grid_sizes,
+        return_list=False, raw=True,
+    )
+
+
+def _run_splatter(
+    rays: Rays,
+    output_grid_size,
+    mlp_params: Optional[SplatterParams],
+    input_grid,
+    num_samples: int,
+    num_samples_inf: int,
+    mask_out_of_bounds_samples: bool,
+    contract_coords: bool,
+    disparity_at_inf: float,
+    input_grid_sizes,
+    return_list: bool,
+    raw: bool = False,
+):
+    if rays.encoding is None:
+        raise ValueError("The splatter requires rays.encoding to be set.")
+    output_grid_size = _normalize_output_grid_size(output_grid_size)
+
+    if input_grid is not None:
+        check_grid_and_color_grid(input_grid, None, input_grid_sizes, None)
+        input_grid_flat, _, input_grid_sizes, _ = process_and_flatten_grid(
+            input_grid, None, input_grid_sizes, None
+        )
+    else:
+        input_grid_flat, input_grid_sizes = None, None
+
+    cfg = _SplatCfg(
+        num_samples=int(num_samples),
+        num_samples_inf=int(num_samples_inf),
+        mask_out_of_bounds_samples=bool(mask_out_of_bounds_samples),
+        contract_coords=bool(contract_coords),
+        disparity_at_inf=float(disparity_at_inf),
+        output_grid_sizes=output_grid_size,
+        input_grid_sizes=input_grid_sizes,
+        n_hidden=mlp_params.n_hidden if mlp_params is not None else (),
+    )
+
+    valid_mask = jnp.ones((rays.directions.shape[0],), rays.encoding.dtype)
+    geom = (
+        rays.directions, rays.origins, rays.near, rays.far,
+        rays.grid_idx.astype(jnp.int32), valid_mask,
+    )
+    diff = (
+        rays.encoding,
+        input_grid_flat,
+        mlp_params.mlp_params if mlp_params is not None else None,
+    )
+    feat_grid, w_grid = _splat_core(cfg, geom, diff)
+    if raw:
+        return feat_grid, w_grid
+    grid_flat = feat_grid / jnp.clip(w_grid, min=WEIGHT_GRID_EPS)
+    if return_list:
+        return list(unflatten_grid(grid_flat, output_grid_size))
+    return grid_flat
+
+
+def lightplane_splatter(
+    rays: Rays,
+    output_grid_size,
+    # ------ config keys ------
+    num_samples: int,
+    num_samples_inf: int = 0,
+    mask_out_of_bounds_samples: bool = False,
+    contract_coords: bool = False,
+    disparity_at_inf: float = 1e-5,
+    return_list: bool = True,
+):
+    """Fused splatter: pushes ``rays.encoding`` along each ray into a
+    zero-initialized grid-list of ``output_grid_size``, normalized by the
+    splat-weight grid.  Mirrors reference ``lightplane_splatter.py:31-164``.
+
+    Returns the splatted grid-list (or the flat ``[V_total, C]`` tensor if
+    ``return_list=False``).
+    """
+    return _run_splatter(
+        rays, output_grid_size, None, None,
+        num_samples, num_samples_inf, mask_out_of_bounds_samples,
+        contract_coords, disparity_at_inf, None, return_list,
+    )
+
+
+def lightplane_mlp_splatter(
+    rays: Rays,
+    output_grid_size,
+    mlp_params: SplatterParams,
+    input_grid: Union[Sequence[jnp.ndarray], jnp.ndarray],
+    # ------ config keys ------
+    num_samples: int,
+    num_samples_inf: int = 0,
+    mask_out_of_bounds_samples: bool = False,
+    contract_coords: bool = False,
+    disparity_at_inf: float = 1e-5,
+    input_grid_sizes=None,
+    return_list: bool = True,
+):
+    """Fused splatter with a prior ``input_grid``: each sample gathers the
+    prior feature, adds the ray's ``encoding``, maps through the splatter MLP
+    and splats the result.  Mirrors reference
+    ``lightplane_splatter.py:167-338``.
+    """
+    assert input_grid is not None, "input_grid must be provided"
+    return _run_splatter(
+        rays, output_grid_size, mlp_params, input_grid,
+        num_samples, num_samples_inf, mask_out_of_bounds_samples,
+        contract_coords, disparity_at_inf, input_grid_sizes, return_list,
+    )

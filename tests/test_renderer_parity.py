@@ -1,0 +1,208 @@
+"""Fused renderer vs naive oracle: forward outputs and all gradients.
+
+Mirrors the reference's oracle-parity sweep
+(``tests/test_renderer_with_autograd.py:34-268``): for each config, run both
+implementations on identical inputs, compare the three forward outputs, then
+backprop a random-projection loss ``sum(randn * out)`` and compare every
+gradient (grid, color grid, mlp_params, ray encoding).
+"""
+
+import dataclasses
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightplane_tpu import (
+    lightplane_renderer,
+    lightplane_renderer_naive,
+    flatten_grid,
+)
+from .utils import (
+    compare_one,
+    random_decoder_params,
+    random_grid,
+    random_rays,
+)
+
+BASE = dict(
+    n_rays=36,
+    batch_size=2,
+    grid_type="voxel",
+    resolution=6,
+    channels=16,
+    num_samples=10,
+    num_samples_inf=0,
+    gain=1.0,
+    mask_out_of_bounds_samples=False,
+    contract_coords=False,
+    inject_noise_sigma=0.0,
+    use_scaffold=False,
+    separate_color_grid=False,
+    n_layers_trunk=2,
+    flat_grid_input=False,
+)
+
+# one-factor-at-a-time sweep over the reference's config axes
+VARIANTS = [
+    {},
+    {"grid_type": "triplane"},
+    {"grid_type": "mixed"},
+    {"n_rays": 3},                      # non-block-multiple ray count
+    {"mask_out_of_bounds_samples": True},
+    {"contract_coords": True},
+    {"num_samples_inf": 4},
+    {"gain": 3.0},
+    {"inject_noise_sigma": 0.3},
+    {"use_scaffold": True},
+    {"separate_color_grid": True, "n_layers_trunk": 0},
+    {"n_layers_trunk": 4},
+    {"num_samples": 1},
+    {"flat_grid_input": True},
+    {"grid_type": "triplane", "separate_color_grid": True,
+     "n_layers_trunk": 0, "num_samples_inf": 3,
+     "mask_out_of_bounds_samples": True},
+]
+
+
+def _setup(cfg, seed):
+    key = jax.random.PRNGKey(seed)
+    k_rays, k_grid, k_cgrid, k_dec, k_enc, k_scaf = jax.random.split(key, 6)
+    dp = random_decoder_params(
+        k_dec,
+        input_chn=cfg["channels"],
+        hidden_chn=16,
+        color_chn=3,
+        n_layers_trunk=cfg["n_layers_trunk"],
+        use_separate_color_grid=cfg["separate_color_grid"],
+    )
+    enc_dim = dp.n_hidden_color[0]
+    rays = random_rays(
+        k_rays, cfg["n_rays"], cfg["batch_size"], encoding_dim=enc_dim
+    )
+    grid = random_grid(
+        k_grid, cfg["batch_size"], cfg["channels"], cfg["resolution"],
+        cfg["grid_type"], scale=0.5,
+    )
+    color_grid = None
+    if cfg["separate_color_grid"]:
+        color_grid = random_grid(
+            k_cgrid, cfg["batch_size"], cfg["channels"], cfg["resolution"],
+            cfg["grid_type"], scale=0.5,
+        )
+    scaffold = None
+    if cfg["use_scaffold"]:
+        scaffold = (
+            jax.random.uniform(
+                k_scaf,
+                (cfg["batch_size"], 4, 4, 4),
+            )
+            > 0.3
+        ).astype(jnp.float32)
+    kwargs = dict(
+        num_samples=cfg["num_samples"],
+        gain=cfg["gain"],
+        num_samples_inf=cfg["num_samples_inf"],
+        mask_out_of_bounds_samples=cfg["mask_out_of_bounds_samples"],
+        contract_coords=cfg["contract_coords"],
+        inject_noise_sigma=cfg["inject_noise_sigma"],
+        inject_noise_seed=0 if cfg["inject_noise_sigma"] > 0 else None,
+        scaffold=scaffold,
+    )
+    return rays, grid, color_grid, dp, kwargs
+
+
+@pytest.mark.parametrize("variant", range(len(VARIANTS)))
+def test_renderer_parity(variant):
+    cfg = dict(BASE, **VARIANTS[variant])
+    for seed in range(2):
+        rays, grid, color_grid, dp, kwargs = _setup(cfg, seed)
+
+        def _splits(gl):
+            import numpy as _np
+            return _np.cumsum(
+                [int(_np.prod(g.shape[:-1])) for g in gl]
+            )[:-1].tolist()
+
+        def _reassemble(gl, flat):
+            parts = jnp.split(flat, _splits(gl), axis=0)
+            return [p.reshape(g.shape) for p, g in zip(parts, gl)]
+
+        def run(fn, grid_flat, cgrid_flat, mlp_params, encoding):
+            # rebuild inputs from flat leaves so jax.grad can target them
+            rays_l = dataclasses.replace(rays, encoding=encoding)
+            extra = {}
+            if cfg["flat_grid_input"]:
+                g_in = grid_flat
+                extra["grid_sizes"] = [list(g.shape) for g in grid]
+                cg_in = cgrid_flat
+                if color_grid is not None:
+                    extra["color_grid_sizes"] = [
+                        list(g.shape) for g in color_grid
+                    ]
+            else:
+                g_in = _reassemble(grid, grid_flat)
+                cg_in = (
+                    None if color_grid is None
+                    else _reassemble(color_grid, cgrid_flat)
+                )
+            return fn(
+                rays_l,
+                g_in,
+                dataclasses.replace(dp, mlp_params=mlp_params),
+                color_grid=cg_in,
+                **extra,
+                **kwargs,
+            )
+
+        grid_flat = jnp.concatenate(
+            [g.reshape(-1, g.shape[-1]) for g in grid], axis=0
+        )
+        cgrid_flat = (
+            None
+            if color_grid is None
+            else jnp.concatenate(
+                [g.reshape(-1, g.shape[-1]) for g in color_grid], axis=0
+            )
+        )
+
+        out_naive = run(
+            lightplane_renderer_naive, grid_flat, cgrid_flat, dp.mlp_params,
+            rays.encoding,
+        )
+        out_fused = run(
+            lightplane_renderer, grid_flat, cgrid_flat, dp.mlp_params,
+            rays.encoding,
+        )
+        for name, a, b in zip(
+            ["depth", "nlt", "features"], out_naive, out_fused
+        ):
+            compare_one(a, b, f"v{variant}/s{seed}/{name}")
+
+        # gradient parity via a random-projection loss
+        k_proj = jax.random.PRNGKey(1000 + seed)
+        projs = [
+            jax.random.normal(k, o.shape)
+            for k, o in zip(jax.random.split(k_proj, 3), out_naive)
+        ]
+
+        def loss(fn, grid_flat, cgrid_flat, mlp_params, encoding):
+            out = run(fn, grid_flat, cgrid_flat, mlp_params, encoding)
+            return sum(jnp.sum(p * o) for p, o in zip(projs, out))
+
+        argnums = (0, 1, 2, 3) if color_grid is not None else (0, 2, 3)
+        g_naive = jax.grad(
+            lambda *a: loss(lightplane_renderer_naive, *a), argnums=argnums
+        )(grid_flat, cgrid_flat, dp.mlp_params, rays.encoding)
+        g_fused = jax.grad(
+            lambda *a: loss(lightplane_renderer, *a), argnums=argnums
+        )(grid_flat, cgrid_flat, dp.mlp_params, rays.encoding)
+        names = (
+            ["grid", "color_grid", "mlp", "enc"]
+            if color_grid is not None
+            else ["grid", "mlp", "enc"]
+        )
+        for name, a, b in zip(names, g_naive, g_fused):
+            compare_one(a, b, f"v{variant}/s{seed}/grad_{name}")
