@@ -1,0 +1,294 @@
+"""Single-scene NeRF-style fitting with the Lightplane-TPU renderer.
+
+Counterpart of the reference training app
+(``examples/fit_single_scene.py:150-446``): fits a voxel/triplane grid +
+decoder MLPs to posed images with MSE + TV + L1 losses, two learning-rate
+groups with exponential decay, coarse-to-fine grid up-sampling, periodic
+scaffold recomputation, evaluation renders with PSNR/SSIM, and orbax
+checkpointing.  Runs out of the box on a procedural synthetic scene
+(``--dataset_path`` omitted) or on NeRF-synthetic / LLFF / NSVF data.
+
+Usage::
+
+    python examples/fit_single_scene.py --n_iter 2000 --grid_resolution 32
+    python examples/fit_single_scene.py --config examples/config/synthetic_overfit.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import lightplane_tpu as lt
+from lightplane_tpu.utils.grid_utils import (
+    grid_l1_loss,
+    grid_tv_loss,
+    grid_up_sample,
+    init_3d_representation,
+)
+from lightplane_tpu.utils.metrics import calc_psnr, calc_ssim
+from lightplane_tpu.utils.io_utils import colorize_depth, save_image
+from utils.datasets import auto_dataset
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON config file; CLI flags override it")
+    # data
+    p.add_argument("--dataset_path", type=str, default=None)
+    p.add_argument("--dataset_type", type=str, default="auto",
+                   choices=["auto", "nerf", "llff", "nsvf", "synthetic"])
+    p.add_argument("--downsample", type=int, default=1)
+    # model
+    p.add_argument("--representation", type=str, default="triplane",
+                   choices=["triplane", "voxel_grid"])
+    p.add_argument("--grid_resolution", type=int, default=64)
+    p.add_argument("--grid_channels", type=int, default=32)
+    p.add_argument("--mlp_hidden_chn", type=int, default=32)
+    p.add_argument("--mlp_n_layers", type=int, default=2)
+    p.add_argument("--num_samples", type=int, default=128)
+    p.add_argument("--num_samples_inf", type=int, default=0)
+    p.add_argument("--contract_coords", action="store_true")
+    p.add_argument("--mask_out_of_bounds_samples", action="store_true")
+    p.add_argument("--bg_color", type=float, default=1.0)
+    p.add_argument("--gain", type=float, default=1.0)
+    p.add_argument("--opacity_init_bias", type=float, default=-5.0)
+    p.add_argument("--inject_noise_sigma", type=float, default=0.0)
+    p.add_argument("--impl", type=str, default="auto",
+                   choices=["auto", "scan", "pallas"])
+    # optimization
+    p.add_argument("--n_iter", type=int, default=3000)
+    p.add_argument("--rays_per_batch", type=int, default=4096)
+    p.add_argument("--lr_grid", type=float, default=5e-2)
+    p.add_argument("--lr_mlp", type=float, default=5e-3)
+    p.add_argument("--lr_decay_iters", type=int, default=3000)
+    p.add_argument("--lr_decay_rate", type=float, default=0.1)
+    p.add_argument("--tv_weight", type=float, default=1e-3)
+    p.add_argument("--l1_weight", type=float, default=0.0)
+    # schedule
+    p.add_argument("--upsample_steps", type=int, nargs="*", default=[])
+    p.add_argument("--update_scaffold_steps", type=int, nargs="*",
+                   default=[])
+    p.add_argument("--scaffold_resolution", type=int, default=64)
+    # logging / eval / checkpoints
+    p.add_argument("--eval_rate", type=int, default=1000)
+    p.add_argument("--output_dir", type=str, default="outputs/fit")
+    p.add_argument("--init_ckpt", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.config is not None:
+        with open(args.config) as f:
+            cfg = json.load(f)
+        valid = {a.dest for a in p._actions}
+        bad = set(cfg) - valid
+        if bad:
+            raise ValueError(f"invalid config keys: {sorted(bad)}")
+        p.set_defaults(**cfg)
+        args = p.parse_args(argv)
+    return args
+
+
+def build_renderer(args):
+    return lt.LightplaneRenderer(
+        num_samples=args.num_samples,
+        color_chn=3,
+        grid_chn=args.grid_channels,
+        mlp_hidden_chn=args.mlp_hidden_chn,
+        mlp_n_layers_opacity=args.mlp_n_layers,
+        mlp_n_layers_trunk=args.mlp_n_layers,
+        mlp_n_layers_color=args.mlp_n_layers,
+        opacity_init_bias=args.opacity_init_bias,
+        gain=args.gain,
+        bg_color=args.bg_color,
+        num_samples_inf=args.num_samples_inf,
+        mask_out_of_bounds_samples=args.mask_out_of_bounds_samples,
+        contract_coords=args.contract_coords,
+        inject_noise_sigma=args.inject_noise_sigma,
+        inject_noise_seed=0,
+    )
+
+
+def make_optimizer(args, n_iter_done=0):
+    decay = optax.exponential_decay(
+        1.0, args.lr_decay_iters, args.lr_decay_rate
+    )
+    def scaled(lr):
+        return optax.chain(
+            optax.scale_by_adam(),
+            optax.scale_by_schedule(lambda i: -lr * decay(i + n_iter_done)),
+        )
+    return optax.multi_transform(
+        {"grid": scaled(args.lr_grid), "mlp": scaled(args.lr_mlp)},
+        param_labels={"grid": "grid", "mlp": "mlp"},
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    print(f"[fit] loading dataset ({args.dataset_type})")
+    ds = auto_dataset(args.dataset_path, args.dataset_type)
+    print(f"[fit] {ds.n_images} images {ds.height}x{ds.width},"
+          f" near={ds.near:.2f} far={ds.far:.2f}")
+
+    key = jax.random.PRNGKey(args.seed)
+    k_grid, k_mod, key = jax.random.split(key, 3)
+
+    renderer = build_renderer(args)
+    grid = init_3d_representation(
+        k_grid, args.representation, args.grid_resolution,
+        args.grid_channels,
+    )
+    dummy_rays = lt.Rays(
+        directions=jnp.ones((4, 3)), origins=jnp.zeros((4, 3)),
+        grid_idx=jnp.zeros((4,), jnp.int32), near=jnp.zeros((4,)),
+        far=jnp.ones((4,)),
+    )
+    variables = renderer.init(k_mod, dummy_rays, grid, num_samples=2)
+    params = {"grid": grid, "mlp": variables["params"]}
+
+    if args.init_ckpt:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        params = ckptr.restore(os.path.abspath(args.init_ckpt), params)
+        print(f"[fit] restored {args.init_ckpt}")
+
+    opt = make_optimizer(args)
+    opt_state = opt.init(params)
+    scaffold = None
+
+    n_rays_total = ds.origins.shape[0]
+    origins = jnp.asarray(ds.origins)
+    directions = jnp.asarray(ds.directions)
+    gt = jnp.asarray(ds.gt)
+
+    def render_with(params, rays, scaffold, num_samples=None):
+        return renderer.apply(
+            {"params": params["mlp"]}, rays, params["grid"],
+            scaffold=scaffold, num_samples=num_samples,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("num_samples",))
+    def train_step(params, opt_state, idx, scaffold, num_samples):
+        def loss_fn(params):
+            rays = lt.Rays(
+                directions=directions[idx],
+                origins=origins[idx],
+                grid_idx=jnp.zeros_like(idx, dtype=jnp.int32),
+                near=jnp.full(idx.shape, ds.near, jnp.float32),
+                far=jnp.full(idx.shape, ds.far, jnp.float32),
+            )
+            depth, alpha, rgb = render_with(
+                params, rays, scaffold, num_samples
+            )
+            mse = jnp.mean((rgb - gt[idx]) ** 2)
+            loss = mse
+            if args.tv_weight > 0:
+                loss = loss + args.tv_weight * grid_tv_loss(params["grid"])
+            if args.l1_weight > 0:
+                loss = loss + args.l1_weight * grid_l1_loss(params["grid"])
+            return loss, mse
+        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, mse
+
+    def eval_and_checkpoint(step, params, scaffold, num_samples):
+        o, d, img_gt = ds.image(0)
+        rays = lt.Rays(
+            directions=jnp.asarray(d), origins=jnp.asarray(o),
+            grid_idx=jnp.zeros((o.shape[0],), jnp.int32),
+            near=jnp.full((o.shape[0],), ds.near, jnp.float32),
+            far=jnp.full((o.shape[0],), ds.far, jnp.float32),
+        )
+        depth, alpha, rgb = jax.jit(
+            render_with, static_argnames=("num_samples",)
+        )(params, rays, scaffold, num_samples)
+        rgb_img = np.asarray(rgb).reshape(ds.height, ds.width, 3)
+        depth_img = np.asarray(depth).reshape(ds.height, ds.width)
+        psnr = float(calc_psnr(jnp.asarray(rgb_img), jnp.asarray(img_gt)))
+        ssim = float(calc_ssim(jnp.asarray(rgb_img), jnp.asarray(img_gt)))
+        save_image(
+            os.path.join(args.output_dir, f"render_{step:06d}.png"), rgb_img
+        )
+        save_image(
+            os.path.join(args.output_dir, f"depth_{step:06d}.png"),
+            colorize_depth(depth_img),
+        )
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckpt_path = os.path.abspath(
+            os.path.join(args.output_dir, f"ckpt_{step:06d}")
+        )
+        ckptr.save(ckpt_path, params, force=True)
+        ckptr.wait_until_finished()
+        print(f"[fit] step {step}: eval PSNR {psnr:.2f} SSIM {ssim:.3f}"
+              f" -> {ckpt_path}")
+        return psnr
+
+    num_samples = args.num_samples
+    t0 = time.time()
+    for step in range(args.n_iter):
+        key, k_idx = jax.random.split(key)
+        idx = jax.random.randint(
+            k_idx, (args.rays_per_batch,), 0, n_rays_total
+        )
+        params, opt_state, loss, mse = train_step(
+            params, opt_state, idx, scaffold, num_samples
+        )
+
+        if step in args.upsample_steps:
+            # coarse-to-fine: upsample grid x2, double samples, reset opt
+            params = dict(params)
+            params["grid"] = grid_up_sample(params["grid"], 2)
+            num_samples = num_samples * 2
+            opt = make_optimizer(args, n_iter_done=step)
+            opt_state = opt.init(params)
+            print(f"[fit] step {step}: upsampled grid -> "
+                  f"{[g.shape for g in params['grid']]},"
+                  f" num_samples={num_samples}")
+
+        if step in args.update_scaffold_steps:
+            r = args.scaffold_resolution
+            scaffold = renderer.apply(
+                {"params": params["mlp"]},
+                params["grid"],
+                (1, r, r, r),
+                method=lt.LightplaneRenderer.calculate_scaffold,
+            )
+            occ = float(jnp.mean(scaffold))
+            print(f"[fit] step {step}: scaffold updated"
+                  f" (occupancy {occ:.3f})")
+
+        if (step + 1) % 100 == 0:
+            psnr_b = -10 * np.log10(max(float(mse), 1e-10))
+            print(f"[fit] step {step+1}/{args.n_iter}"
+                  f" loss {float(loss):.5f} batchPSNR {psnr_b:.2f}"
+                  f" ({(time.time()-t0)/(step+1)*1e3:.0f} ms/it)")
+
+        if (step + 1) % args.eval_rate == 0 or step + 1 == args.n_iter:
+            eval_and_checkpoint(step + 1, params, scaffold, num_samples)
+
+    return params
+
+
+if __name__ == "__main__":
+    main()

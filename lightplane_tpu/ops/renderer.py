@@ -352,6 +352,51 @@ _render_core.defvjp(_render_fwd, _render_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Pallas-kernel core (fused in-VMEM march; see kernels/renderer_pallas.py)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _render_core_pallas(cfg: _RenderCfg, geom, diff):
+    from .kernels import renderer_pallas as rp
+
+    return rp.pallas_render_fwd(cfg, geom, diff)
+
+
+def _render_fwd_pallas(cfg, geom, diff):
+    from .kernels import renderer_pallas as rp
+
+    out = rp.pallas_render_fwd(cfg, geom, diff)
+    return out, (geom, diff, out[1])
+
+
+def _render_bwd_pallas(cfg, res, g_out):
+    from .kernels import renderer_pallas as rp
+
+    geom, diff, nlt_final = res
+    g_grid, g_cgrid, g_mlp, g_enc = rp.pallas_render_bwd(
+        cfg, geom, diff, nlt_final, g_out
+    )
+    g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
+    return g_geom, (g_grid, g_cgrid, g_mlp, g_enc)
+
+
+_render_core_pallas.defvjp(_render_fwd_pallas, _render_bwd_pallas)
+
+
+def _use_pallas(cfg, impl: str) -> bool:
+    from .kernels import renderer_pallas as rp
+
+    if impl == "pallas":
+        return True
+    if impl != "auto":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return rp.pallas_renderer_supported(cfg)
+
+
+# ---------------------------------------------------------------------------
 # Public functional API
 # ---------------------------------------------------------------------------
 
@@ -373,6 +418,7 @@ def lightplane_renderer(
     color_grid: Union[Sequence[jnp.ndarray], jnp.ndarray, None] = None,
     grid_sizes=None,
     color_grid_sizes=None,
+    impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused differentiable Emission-Absorption renderer.
 
@@ -380,6 +426,9 @@ def lightplane_renderer(
     O(1)-in-``num_samples`` memory in both passes (streamed forward scan +
     reverse-march recompute backward).  See the oracle's docstring for the
     argument semantics (mirrors reference ``lightplane_renderer.py:33-211``).
+
+    ``impl`` selects the fused implementation: ``"auto"`` (Pallas TPU
+    kernels when supported, else XLA scan), ``"pallas"``, or ``"scan"``.
 
     Returns:
         ray_length_render: ``[R]`` expected ray-termination length.
@@ -440,7 +489,10 @@ def lightplane_renderer(
     diff = (grid_flat, color_grid_flat, decoder_params.mlp_params,
             rays_encoding)
 
-    depth, nlt, feat = _render_core(cfg, geom, diff)
+    core = (
+        _render_core_pallas if _use_pallas(cfg, impl) else _render_core
+    )
+    depth, nlt, feat = core(cfg, geom, diff)
 
     if decoder_params.color_chn < feat.shape[-1]:
         feat = feat[..., : decoder_params.color_chn]

@@ -1,0 +1,89 @@
+"""On-TPU parity check: Pallas kernels vs scan implementation."""
+import dataclasses, sys, time
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+import lightplane_tpu as lt
+
+sys.path.insert(0, "/root/repo/tests")
+from utils import random_rays, random_grid, random_decoder_params
+
+
+def run_case(name, grid_type="triplane", n_rays=600, batch=1, res=8, chn=16,
+             separate=False, noise=0.0, mask=False, contract=False, ni=0,
+             trunk=2):
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dp = random_decoder_params(
+        k3, input_chn=chn, hidden_chn=16,
+        n_layers_trunk=trunk, use_separate_color_grid=separate)
+    rays = random_rays(k1, n_rays, batch, encoding_dim=dp.n_hidden_color[0])
+    grid = random_grid(k2, batch, chn, res, grid_type, scale=0.5)
+    cgrid = (random_grid(k4, batch, chn, res, grid_type, scale=0.5)
+             if separate else None)
+    kw = dict(num_samples=8, gain=1.3, num_samples_inf=ni,
+              mask_out_of_bounds_samples=mask, contract_coords=contract,
+              inject_noise_sigma=noise,
+              inject_noise_seed=3 if noise > 0 else None,
+              disparity_at_inf=1e-3, color_grid=cgrid)
+
+    def loss(fn_impl, g, mp, enc):
+        r = dataclasses.replace(rays, encoding=enc)
+        d = dataclasses.replace(dp, mlp_params=mp)
+        gl = [g[i] for i in range(len(grid))]
+        out = fn_impl(r, gl, d, **kw)
+        return sum(jnp.sum(o * (i + 1)) for i, o in enumerate(out)), out
+
+    scan_fn = lambda *a, **k: lt.lightplane_renderer(*a, impl="scan", **k)
+    pall_fn = lambda *a, **k: lt.lightplane_renderer(*a, impl="pallas", **k)
+
+    args = ({i: g for i, g in enumerate(grid)}, dp.mlp_params, rays.encoding)
+    f_scan = jax.jit(jax.value_and_grad(
+        lambda *a: loss(scan_fn, *a), argnums=(0, 1, 2), has_aux=True))
+    f_pall = jax.jit(jax.value_and_grad(
+        lambda *a: loss(pall_fn, *a), argnums=(0, 1, 2), has_aux=True))
+    (l1, out1), g1 = f_scan(*args)
+    (l2, out2), g2 = f_pall(*args)
+    ok = True
+    # reference tolerances (tests/utils.py:191-193): max 0.1, mean 2e-3
+    def check(nm, a, b):
+        nonlocal ok
+        d = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+        scale = np.abs(np.asarray(a)).max() + 1e-6
+        if d.max() > 0.1 * max(scale, 1.0) or d.mean() > 2e-3:
+            print(f"  MISMATCH {nm}: max {d.max():.2e} mean {d.mean():.2e}"
+                  f" scale {scale:.2e}")
+            ok = False
+    for nm, a, b in zip(["depth", "nlt", "feat"], out1, out2):
+        check(nm, a, b)
+    for nm, a, b in zip(["g_grid", "g_mlp", "g_enc"], g1, g2):
+        la = jax.tree_util.tree_leaves(a)
+        lb = jax.tree_util.tree_leaves(b)
+        for x, y in zip(la, lb):
+            check(nm, x, y)
+    print(("PASS " if ok else "FAIL ") + name)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    cases = {
+        "basic": dict(),
+        "voxel": dict(grid_type="voxel", res=8),
+        "batch": dict(batch=2, n_rays=700),
+        "mask": dict(mask=True),
+        "contract": dict(contract=True),
+        "inf": dict(ni=3),
+        "noise": dict(noise=0.2),
+        "relu_field": dict(separate=True, trunk=0),
+        "combo": dict(grid_type="voxel", res=6, batch=2, mask=True, ni=2,
+                      noise=0.1),
+    }
+    for name, kwargs in cases.items():
+        if which not in ("all", name):
+            continue
+        t0 = time.time()
+        try:
+            run_case(name, **kwargs)
+        except Exception as e:
+            print(f"ERROR {name}: {type(e).__name__}: "
+                  + str(e).splitlines()[0][:300])
+        print(f"  ({time.time()-t0:.1f}s)")
