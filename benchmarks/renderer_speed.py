@@ -1,0 +1,129 @@
+"""Renderer speed/memory benchmark.
+
+Counterpart of reference ``tests/renderer_speed_benchmark.py:228-287``:
+triplane 3 x (32^2, 32ch), 256 samples/ray, MLPs 2/2/2 hidden 32, render
+sizes 16^2 .. 1024^2; times forward and forward+backward separately for the
+available implementations and reports rays/s and peak device memory.
+Emits CSV ``STATS,`` lines like the reference.
+
+Usage: python benchmarks/renderer_speed.py [--sizes 64 128 256] [--impls pallas scan]
+"""
+
+import argparse
+import dataclasses
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import lightplane_tpu as lt
+
+
+def make_inputs(key, image_size, res=32, chn=32, hidden=32, n_layers=2):
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    dp = lt.init_decoder_params(
+        k1, n_layers_opacity=n_layers, n_layers_trunk=n_layers,
+        n_layers_color=n_layers, input_chn=chn, hidden_chn=hidden,
+        color_chn=3, opacity_init_bias=-2.0,
+    )
+    grid = [
+        jax.random.normal(k2, (1, 1, res, res, chn)) * 0.1,
+        jax.random.normal(k3, (1, res, 1, res, chn)) * 0.1,
+        jax.random.normal(k4, (1, res, res, 1, chn)) * 0.1,
+    ]
+    n = image_size * image_size
+    ys, xs = jnp.meshgrid(
+        jnp.linspace(-0.5, 0.5, image_size),
+        jnp.linspace(-0.5, 0.5, image_size),
+        indexing="ij",
+    )
+    rays = lt.Rays(
+        directions=jnp.stack(
+            [xs.ravel(), ys.ravel(), jnp.ones(n)], axis=-1
+        ),
+        origins=jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (n, 1)),
+        grid_idx=jnp.zeros((n,), jnp.int32),
+        near=jnp.full((n,), 1.0),
+        far=jnp.full((n,), 3.0),
+        encoding=jax.random.normal(k5, (n, hidden)) * 0.1,
+    )
+    return rays, grid, dp
+
+
+def peak_mem_mb():
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return stats["peak_bytes_in_use"] / 2**20
+    except Exception:
+        pass
+    return float("nan")
+
+
+def bench_one(impl, image_size, num_samples, n_reps=5, n_warmup=2):
+    rays, grid, dp = make_inputs(jax.random.PRNGKey(0), image_size)
+    n_rays = image_size * image_size
+
+    def fwd(grid, mp, enc):
+        r = dataclasses.replace(rays, encoding=enc)
+        d = dataclasses.replace(dp, mlp_params=mp)
+        return lt.lightplane_renderer(
+            r, grid, d, num_samples=num_samples, gain=1.0, impl=impl
+        )
+
+    def loss(grid, mp, enc):
+        out = fwd(grid, mp, enc)
+        return sum(jnp.sum(o) for o in out)
+
+    f_fwd = jax.jit(fwd)
+    f_bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    args = (grid, dp.mlp_params, rays.encoding)
+
+    results = {}
+    for name, fn in [("fw", f_fwd), ("fwbw", f_bwd)]:
+        for _ in range(n_warmup):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n_reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        results[name] = (time.perf_counter() - t0) / n_reps
+    results["mem_mb"] = peak_mem_mb()
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", type=int, nargs="*",
+                   default=[16, 32, 64, 128, 256, 512, 1024])
+    p.add_argument("--impls", type=str, nargs="*",
+                   default=["pallas", "scan"])
+    p.add_argument("--num_samples", type=int, default=256)
+    args = p.parse_args()
+
+    print("STATS,impl,image_size,n_rays,t_fw_ms,t_fwbw_ms,"
+          "rays_per_s_fwbw,peak_mem_mb")
+    for impl in args.impls:
+        for size in args.sizes:
+            try:
+                r = bench_one(impl, size, args.num_samples)
+            except Exception as e:
+                print(f"STATS,{impl},{size},{size*size},ERROR,"
+                      f"{type(e).__name__},,")
+                continue
+            n = size * size
+            print(
+                f"STATS,{impl},{size},{n},{r['fw']*1e3:.2f},"
+                f"{r['fwbw']*1e3:.2f},{n/r['fwbw']:.0f},"
+                f"{r['mem_mb']:.0f}"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Splatter speed/memory benchmark.
+
+Counterpart of reference ``tests/splatter_speed_benchmark.py:200-250``:
+splats N views x 128^2 rays x 96 samples into a voxel grid (reference uses
+160^3 x 64ch; the grid size is configurable since the XLA-scatter path
+handles big voxel grids while the Pallas path covers VMEM-sized grids).
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+import lightplane_tpu as lt
+from benchmarks.renderer_speed import peak_mem_mb
+
+
+def make_rays(key, n_views, view_res, chn):
+    n = n_views * view_res * view_res
+    k1, k2 = jax.random.split(key)
+    origins = jax.random.normal(k1, (n, 3)) * 0.1 + jnp.array([0, 0, -2.0])
+    targets = jax.random.normal(k2, (n, 3)) * 0.3
+    return lt.Rays(
+        directions=targets - origins,
+        origins=origins,
+        grid_idx=jnp.zeros((n,), jnp.int32),
+        near=jnp.full((n,), 0.5),
+        far=jnp.full((n,), 3.5),
+        encoding=jax.random.normal(k1, (n, chn)) * 0.1,
+    )
+
+
+def bench_one(impl, n_views, view_res=128, grid_res=160, chn=64,
+              num_samples=96, n_reps=3):
+    rays = make_rays(jax.random.PRNGKey(0), n_views, view_res, chn)
+    sizes = [(1, grid_res, grid_res, grid_res, chn)]
+
+    def fwd(enc):
+        r = dataclasses.replace(rays, encoding=enc)
+        return lt.lightplane_splatter(
+            r, sizes, num_samples=num_samples, return_list=False, impl=impl
+        )
+
+    def loss(enc):
+        return jnp.sum(fwd(enc) ** 2)
+
+    f_fwd = jax.jit(fwd)
+    f_bwd = jax.jit(jax.grad(loss))
+    res = {}
+    for name, fn in [("fw", f_fwd), ("fwbw", f_bwd)]:
+        out = fn(rays.encoding)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n_reps):
+            out = fn(rays.encoding)
+        jax.block_until_ready(out)
+        res[name] = (time.perf_counter() - t0) / n_reps
+    res["mem_mb"] = peak_mem_mb()
+    return res
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--views", type=int, nargs="*", default=[1, 4, 16, 64])
+    p.add_argument("--impls", type=str, nargs="*", default=["auto"])
+    p.add_argument("--grid_res", type=int, default=160)
+    p.add_argument("--channels", type=int, default=64)
+    args = p.parse_args()
+
+    print("STATS,impl,n_views,n_rays,t_fw_ms,t_fwbw_ms,rays_per_s_fwbw,"
+          "peak_mem_mb")
+    for impl in args.impls:
+        for v in args.views:
+            n = v * 128 * 128
+            try:
+                r = bench_one(impl, v, grid_res=args.grid_res,
+                              chn=args.channels)
+            except Exception as e:
+                print(f"STATS,{impl},{v},{n},ERROR,{type(e).__name__},,")
+                continue
+            print(
+                f"STATS,{impl},{v},{n},{r['fw']*1e3:.2f},"
+                f"{r['fwbw']*1e3:.2f},{n/r['fwbw']:.0f},{r['mem_mb']:.0f}"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -208,6 +208,49 @@ _splat_core.defvjp(_splat_fwd, _splat_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Pallas-kernel core (see kernels/splatter_pallas.py)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _splat_core_pallas(cfg: _SplatCfg, geom, diff):
+    from .kernels import splatter_pallas as sp
+
+    return sp.pallas_splat_fwd(cfg, geom, diff)
+
+
+def _splat_fwd_pallas(cfg, geom, diff):
+    from .kernels import splatter_pallas as sp
+
+    return sp.pallas_splat_fwd(cfg, geom, diff), (geom, diff)
+
+
+def _splat_bwd_pallas(cfg, res, g_out):
+    from .kernels import splatter_pallas as sp
+
+    geom, diff = res
+    g_feat_grid, _g_w_grid = g_out  # weight cotangent ignored (see above)
+    g_enc, g_igrid, g_mlp = sp.pallas_splat_bwd(cfg, geom, diff, g_feat_grid)
+    g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
+    return g_geom, (g_enc, g_igrid, g_mlp)
+
+
+_splat_core_pallas.defvjp(_splat_fwd_pallas, _splat_bwd_pallas)
+
+
+def _use_pallas_splat(cfg, impl: str) -> bool:
+    from .kernels import splatter_pallas as sp
+
+    if impl == "pallas":
+        return True
+    if impl != "auto":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return sp.pallas_splatter_supported(cfg)
+
+
+# ---------------------------------------------------------------------------
 # Public functional API
 # ---------------------------------------------------------------------------
 
@@ -228,6 +271,7 @@ def lightplane_splatter_raw(
     contract_coords: bool = False,
     disparity_at_inf: float = 1e-5,
     input_grid_sizes=None,
+    impl: str = "auto",
 ):
     """Un-normalized splat: returns flat ``(feature_grid [V, C],
     weight_grid [V, 1])`` accumulators (linear in the ray set — psum-able
@@ -236,7 +280,7 @@ def lightplane_splatter_raw(
         rays, output_grid_size, mlp_params, input_grid,
         num_samples, num_samples_inf, mask_out_of_bounds_samples,
         contract_coords, disparity_at_inf, input_grid_sizes,
-        return_list=False, raw=True,
+        return_list=False, raw=True, impl=impl,
     )
 
 
@@ -253,6 +297,7 @@ def _run_splatter(
     input_grid_sizes,
     return_list: bool,
     raw: bool = False,
+    impl: str = "auto",
 ):
     if rays.encoding is None:
         raise ValueError("The splatter requires rays.encoding to be set.")
@@ -287,7 +332,10 @@ def _run_splatter(
         input_grid_flat,
         mlp_params.mlp_params if mlp_params is not None else None,
     )
-    feat_grid, w_grid = _splat_core(cfg, geom, diff)
+    core = (
+        _splat_core_pallas if _use_pallas_splat(cfg, impl) else _splat_core
+    )
+    feat_grid, w_grid = core(cfg, geom, diff)
     if raw:
         return feat_grid, w_grid
     grid_flat = feat_grid / jnp.clip(w_grid, min=WEIGHT_GRID_EPS)
@@ -306,6 +354,7 @@ def lightplane_splatter(
     contract_coords: bool = False,
     disparity_at_inf: float = 1e-5,
     return_list: bool = True,
+    impl: str = "auto",
 ):
     """Fused splatter: pushes ``rays.encoding`` along each ray into a
     zero-initialized grid-list of ``output_grid_size``, normalized by the
@@ -317,7 +366,7 @@ def lightplane_splatter(
     return _run_splatter(
         rays, output_grid_size, None, None,
         num_samples, num_samples_inf, mask_out_of_bounds_samples,
-        contract_coords, disparity_at_inf, None, return_list,
+        contract_coords, disparity_at_inf, None, return_list, impl=impl,
     )
 
 
@@ -334,6 +383,7 @@ def lightplane_mlp_splatter(
     disparity_at_inf: float = 1e-5,
     input_grid_sizes=None,
     return_list: bool = True,
+    impl: str = "auto",
 ):
     """Fused splatter with a prior ``input_grid``: each sample gathers the
     prior feature, adds the ray's ``encoding``, maps through the splatter MLP
@@ -345,4 +395,5 @@ def lightplane_mlp_splatter(
         rays, output_grid_size, mlp_params, input_grid,
         num_samples, num_samples_inf, mask_out_of_bounds_samples,
         contract_coords, disparity_at_inf, input_grid_sizes, return_list,
+        impl=impl,
     )

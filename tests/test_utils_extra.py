@@ -1,0 +1,92 @@
+"""Tests for grid regularizers/upsampling, metrics, cameras, datasets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightplane_tpu.utils.grid_utils import (
+    grid_l1_loss,
+    grid_tv_loss,
+    grid_up_sample,
+    init_3d_representation,
+)
+from lightplane_tpu.utils.metrics import calc_psnr, calc_ssim
+from lightplane_tpu.utils.cameras import (
+    camera_rays,
+    look_at_c2w,
+    sphere_cameras,
+)
+
+
+def test_init_representation_shapes():
+    key = jax.random.PRNGKey(0)
+    vox = init_3d_representation(key, "voxel_grid", 8, 4)
+    assert [g.shape for g in vox] == [(1, 8, 8, 8, 4)]
+    tri = init_3d_representation(key, "triplane", 8, 4)
+    assert [g.shape for g in tri] == [
+        (1, 1, 8, 8, 4), (1, 8, 1, 8, 4), (1, 8, 8, 1, 4)
+    ]
+
+
+def test_tv_and_l1():
+    const = [jnp.ones((1, 4, 4, 4, 2))]
+    assert float(grid_tv_loss(const)) == 0.0
+    assert float(grid_l1_loss(const)) == 1.0
+    key = jax.random.PRNGKey(0)
+    noisy = [jax.random.normal(key, (1, 4, 4, 4, 2))]
+    assert float(grid_tv_loss(noisy)) > 0.0
+
+
+def test_up_sample():
+    key = jax.random.PRNGKey(0)
+    tri = init_3d_representation(key, "triplane", 4, 2)
+    up = grid_up_sample(tri, 2)
+    assert [g.shape for g in up] == [
+        (1, 1, 8, 8, 2), (1, 8, 1, 8, 2), (1, 8, 8, 1, 2)
+    ]
+    # upsampling a constant grid stays constant
+    const = [jnp.full((1, 4, 4, 4, 2), 3.0)]
+    up_c = grid_up_sample(const, 2)[0]
+    np.testing.assert_allclose(np.asarray(up_c), 3.0, atol=1e-6)
+
+
+def test_psnr_ssim():
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (32, 32, 3))
+    assert float(calc_psnr(img, img)) >= 99.0
+    assert abs(float(calc_ssim(img, img)) - 1.0) < 1e-5
+    noisy = jnp.clip(img + 0.1 * jax.random.normal(key, img.shape), 0, 1)
+    assert float(calc_psnr(img, noisy)) < 30.0
+    assert float(calc_ssim(img, noisy)) < 0.99
+
+
+def test_camera_rays_geometry():
+    c2w = look_at_c2w(np.array([0, 0, 3.0]), np.zeros(3))
+    o, d = camera_rays(c2w, 8, 8, focal=8.0, near=1.0, far=5.0)
+    assert o.shape == (64, 3) and d.shape == (64, 3)
+    # all origins at the eye
+    np.testing.assert_allclose(o, np.array([0, 0, 3.0]), atol=1e-6)
+    # central ray points toward origin (-z in world here)
+    center = d.reshape(8, 8, 3)[4, 4]
+    assert center[2] < 0
+
+    cams = sphere_cameras(6, radius=2.0)
+    assert cams.shape == (6, 4, 4)
+    np.testing.assert_allclose(
+        np.linalg.norm(cams[:, :3, 3], axis=1), 2.0, atol=1e-5
+    )
+
+
+def test_synthetic_dataset():
+    import sys, os
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(__file__), "..", "examples"),
+    )
+    from utils.datasets import make_synthetic_scene
+
+    ds = make_synthetic_scene(n_views=2, image_size=16)
+    assert ds.origins.shape == (2 * 16 * 16, 3)
+    assert ds.gt.min() >= 0.0 and ds.gt.max() <= 1.0 + 1e-5
+    o, d, img = ds.image(1)
+    assert img.shape == (16, 16, 3)
