@@ -50,7 +50,8 @@ def parse_args(argv=None):
     # data
     p.add_argument("--dataset_path", type=str, default=None)
     p.add_argument("--dataset_type", type=str, default="auto",
-                   choices=["auto", "nerf", "llff", "nsvf", "synthetic"])
+                   choices=["auto", "nerf", "llff", "nsvf", "co3d",
+                            "synthetic"])
     p.add_argument("--downsample", type=int, default=1)
     # model
     p.add_argument("--representation", type=str, default="triplane",

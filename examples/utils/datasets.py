@@ -217,6 +217,184 @@ def make_synthetic_scene(
     return _build_dataset(imgs, list(c2ws), focal, near, far)
 
 
+def similarity_from_cameras(c2w: np.ndarray):
+    """Similarity transform normalizing a camera set (OpenCV convention):
+    rotate the average camera-up to world +z-up, recenter on the median
+    closest-point of the center rays, scale to median-unit camera distance
+    (reference ``dataloader/util.py:331-386``)."""
+    t = c2w[:, :3, 3]
+    R = c2w[:, :3, :3]
+
+    up_camspace = np.array([0.0, -1.0, 0.0])
+    world_up = np.mean(np.sum(R * up_camspace, axis=-1), axis=0)
+    world_up /= np.linalg.norm(world_up)
+
+    c = float((up_camspace * world_up).sum())
+    cross = np.cross(world_up, up_camspace)
+    skew = np.array([
+        [0.0, -cross[2], cross[1]],
+        [cross[2], 0.0, -cross[0]],
+        [-cross[1], cross[0], 0.0],
+    ])
+    if c > -1:
+        R_align = np.eye(3) + skew + (skew @ skew) / (1 + c)
+    else:
+        R_align = np.diag([-1.0, 1.0, 1.0])
+
+    R = R_align @ R
+    fwds = np.sum(R * np.array([0.0, 0.0, 1.0]), axis=-1)
+    t = (R_align @ t[..., None])[..., 0]
+
+    nearest = t + (fwds * -t).sum(-1)[:, None] * fwds
+    translate = -np.median(nearest, axis=0)
+
+    transform = np.eye(4)
+    transform[:3, 3] = translate
+    transform[:3, :3] = R_align
+    scale = 1.0 / np.median(np.linalg.norm(t + translate, axis=-1))
+    return transform, scale
+
+
+def load_co3d(
+    root: str,
+    split: str = "train",
+    seq_id: int = 0,
+    max_image_dim: int = 800,
+    max_pose_dist: float = 5.0,
+    cam_scale_factor: float = 0.95,
+    hold_every: int = 8,
+    near: float = 0.1,
+    far: float = 6.0,
+    downsample: int = 1,
+) -> RayDataset:
+    """CO3D format: per-category ``frame_annotations.jgz`` with PyTorch3D
+    viewpoints (reference ``dataloader/co3d_dataset.py:30-270``) — no
+    PyTorch3D dependency here; the viewpoint (R, T, ndc focal/principal
+    point) is converted to an OpenCV-convention c2w + pixel intrinsics
+    directly, then normalized with :func:`similarity_from_cameras`.
+
+    ``seq_id`` selects which sequence (sorted by category, then name).
+    All kept frames are resized to a common resolution (our
+    :class:`RayDataset` stores a single H x W; the reference keeps
+    per-frame sizes)."""
+    import gzip
+
+    if max_image_dim and downsample > 1:
+        max_image_dim = max_image_dim // downsample
+
+    cats = sorted(
+        x for x in os.listdir(root)
+        if os.path.isdir(os.path.join(root, x))
+    )
+    assert cats, f"no category directories under {root}"
+
+    # index frames by sequence; poses in OpenCV c2w (ref co3d_dataset.py:90-136)
+    cam_trans = np.diag(np.array([-1, -1, 1, 1], np.float64))
+    seqs: dict = {}
+    for cat in cats:
+        ann = os.path.join(root, cat, "frame_annotations.jgz")
+        if not os.path.exists(ann):
+            continue
+        with gzip.open(ann, "r") as f:
+            frames = json.load(f)
+        for fr in frames:
+            key = (cat, fr["sequence_name"])
+            H, W = fr["image"]["size"]
+            half_wh = np.array([W * 0.5, H * 0.5], np.float64)
+            R = np.asarray(fr["viewpoint"]["R"], np.float64)
+            T = np.asarray(fr["viewpoint"]["T"], np.float64)
+            pose = np.eye(4)
+            pose[:3, :3] = R
+            pose[:3, 3] = -R @ T
+            pose = pose @ cam_trans
+            seqs.setdefault(key, []).append(dict(
+                frame_number=fr["frame_number"],
+                image_path=fr["image"]["path"],
+                pose=pose,
+                # ndc -> pixel intrinsics
+                fxy=np.asarray(fr["viewpoint"]["focal_length"]) * half_wh,
+                cxy=-(np.asarray(fr["viewpoint"]["principal_point"]) - 1.0)
+                * half_wh,
+            ))
+    keys = sorted(seqs.keys())
+    assert 0 <= seq_id < len(keys), (
+        f"seq_id {seq_id} out of range ({len(keys)} sequences)"
+    )
+    fd = sorted(seqs[keys[seq_id]], key=lambda x: x["frame_number"])
+
+    ref_c2ws = np.stack([x["pose"] for x in fd])
+    keep = [
+        i for i in range(len(fd))
+        if (i % hold_every != 0) == (split.endswith("train"))
+    ]
+
+    imgs, c2ws, intrins = [], [], []
+    target_hw = None
+    for i in keep:
+        img = _load_image(os.path.join(root, fd[i]["image_path"]))
+        h, w = img.shape[:2]
+        scale0 = min(1.0, max_image_dim / max(h, w))
+        if target_hw is None:
+            target_hw = (int(h * scale0), int(w * scale0))
+        import cv2
+
+        sc = np.array(
+            [target_hw[1] / w, target_hw[0] / h], np.float32
+        )
+        img = cv2.resize(
+            img, (target_hw[1], target_hw[0]), interpolation=cv2.INTER_AREA
+        )
+        imgs.append(img)
+        c2ws.append(fd[i]["pose"])
+        intrins.append((fd[i]["fxy"] * sc, fd[i]["cxy"] * sc))
+    c2w = np.stack(c2ws)
+
+    # drop outlier poses (ref co3d_dataset.py:231-239)
+    dists = np.linalg.norm(
+        c2w[:, :3, 3] - np.median(c2w[:, :3, 3], axis=0), axis=-1
+    )
+    good = dists < np.median(dists) * max_pose_dist
+    imgs = [im for im, g in zip(imgs, good) if g]
+    intrins = [x for x, g in zip(intrins, good) if g]
+    c2w = c2w[good]
+
+    T_sim, sscale = similarity_from_cameras(ref_c2ws)
+    c2w = T_sim @ c2w
+    c2w[:, :3, 3] *= cam_scale_factor * sscale
+
+    H, W = target_hw
+    all_o, all_d, all_gt = [], [], []
+    for img, pose, (fxy, cxy) in zip(imgs, c2w, intrins):
+        i, j = np.meshgrid(
+            np.arange(W, dtype=np.float32),
+            np.arange(H, dtype=np.float32),
+            indexing="xy",
+        )
+        # OpenCV convention: +z forward, +y down
+        dirs_cam = np.stack(
+            [(i - cxy[0]) / fxy[0], (j - cxy[1]) / fxy[1], np.ones_like(i)],
+            axis=-1,
+        ).reshape(-1, 3)
+        dirs = dirs_cam @ pose[:3, :3].T.astype(np.float32)
+        all_o.append(
+            np.broadcast_to(
+                pose[:3, 3].astype(np.float32), dirs.shape
+            ).copy()
+        )
+        all_d.append(dirs.astype(np.float32))
+        all_gt.append(img.reshape(-1, 3).astype(np.float32))
+    return RayDataset(
+        origins=np.concatenate(all_o),
+        directions=np.concatenate(all_d),
+        gt=np.concatenate(all_gt),
+        near=near,
+        far=far,
+        height=H,
+        width=W,
+        n_images=len(imgs),
+    )
+
+
 def _build_dataset(imgs, c2ws, focal, near, far) -> RayDataset:
     H, W = imgs[0].shape[:2]
     all_o, all_d, all_gt = [], [], []
@@ -249,11 +427,18 @@ def auto_dataset(root: Optional[str], dataset_type: str = "auto", **kwargs):
             dataset_type = "llff"
         elif os.path.exists(os.path.join(root, "intrinsics.txt")):
             dataset_type = "nsvf"
+        elif any(
+            os.path.exists(os.path.join(root, d, "frame_annotations.jgz"))
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+        ):
+            dataset_type = "co3d"
         else:
             raise ValueError(f"cannot detect dataset type under {root}")
     loader = {
         "nerf": load_nerf_synthetic,
         "llff": load_llff,
         "nsvf": load_nsvf,
+        "co3d": load_co3d,
     }[dataset_type]
     return loader(root, **kwargs)

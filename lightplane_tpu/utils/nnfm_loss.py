@@ -1,0 +1,260 @@
+"""ARF-style NNFM / Gram / content style losses, JAX-native.
+
+Counterpart of reference ``examples/utils/util/nnfm_loss.py`` (ARF's
+nearest-neighbor feature matching loss): nearest-neighbor cosine matching of
+deep feature maps, Gram-matrix matching, content matching, and the linear
+color transfer ``match_colors_for_image_set``.
+
+The loss math is pure JAX and works over any ``[C, H, W]`` feature maps.
+Feature extraction is pluggable: :class:`NNFMLoss` takes any callable
+``features_fn(images_nchw, layer_ids) -> [features...]``.  The reference
+hard-codes a pretrained torchvision VGG-16 (``nnfm_loss.py:130-151``) —
+pretrained weights are not downloadable in this environment, so we provide
+
+* :func:`vgg16_features_fn` — gated on ``torchvision`` availability, exact
+  reference behavior when present, and
+* :func:`random_conv_features_fn` — a fixed-seed random multi-scale conv
+  pyramid (pure JAX).  Random convolutional features are a known-usable
+  basis for style statistics and keep the example runnable hermetically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG-16 `features` indices of the relu outputs per conv block, as in the
+# reference (``nnfm_loss.py:167``).
+VGG_BLOCK_INDEXES = [[1, 3], [6, 8], [11, 13, 15], [18, 20, 22], [25, 27, 29]]
+
+
+def match_colors_for_image_set(image_set: jnp.ndarray, style_img: jnp.ndarray):
+    """Linear color transfer matching image_set's color covariance to the
+    style image's (reference ``nnfm_loss.py:16-53``).
+
+    Args:
+        image_set: ``[N, H, W, 3]``.
+        style_img: ``[Hs, Ws, 3]``.
+
+    Returns:
+        (recolored ``[N, H, W, 3]`` clipped to [0, 1], ``[4, 4]`` color
+        transform with the 3x3 matrix and translation in the last column).
+    """
+    sh = image_set.shape
+    x = image_set.reshape(-1, 3)
+    s = style_img.reshape(-1, 3)
+
+    mu_c = x.mean(0, keepdims=True)
+    mu_s = s.mean(0, keepdims=True)
+    cov_c = (x - mu_c).T @ (x - mu_c) / x.shape[0]
+    cov_s = (s - mu_s).T @ (s - mu_s) / s.shape[0]
+
+    # eigh on symmetric PSD covariances == their SVD (reference uses svd)
+    sig_c, u_c = jnp.linalg.eigh(cov_c)
+    sig_s, u_s = jnp.linalg.eigh(cov_s)
+    scl_c = jnp.diag(1.0 / jnp.sqrt(jnp.clip(sig_c, 1e-8, 1e8)))
+    scl_s = jnp.diag(jnp.sqrt(jnp.clip(sig_s, 1e-8, 1e8)))
+
+    tmp_mat = u_s @ scl_s @ u_s.T @ u_c @ scl_c @ u_c.T
+    tmp_vec = mu_s - mu_c @ tmp_mat.T
+
+    x = x @ tmp_mat.T + tmp_vec
+    x = jnp.clip(x, 0.0, 1.0).reshape(sh)
+
+    color_tf = jnp.eye(4)
+    color_tf = color_tf.at[:3, :3].set(tmp_mat)
+    color_tf = color_tf.at[:3, 3].set(tmp_vec[0])
+    return x, color_tf
+
+
+def _normalize_chn(a: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """L2-normalize over the channel (first) axis of ``[C, M]``."""
+    n = jnp.sqrt(jnp.sum(a * a, axis=0, keepdims=True) + eps)
+    return a / (n + eps)
+
+
+def nn_feat_replace(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """For each column (pixel) of ``a [C, M]``, the cosine-nearest column of
+    ``b [C, M2]`` (reference ``nnfm_loss.py:56-103``)."""
+    an = _normalize_chn(a)
+    bn = _normalize_chn(b)
+    # cos distance matrix [M, M2]; argmin over style pixels
+    d = 1.0 - an.T @ bn
+    idx = jnp.argmin(d, axis=1)
+    return b[:, idx]
+
+
+def cos_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Mean (1 - cossim) over pixels of ``[C, M]`` maps (reference
+    ``nnfm_loss.py:106-113``)."""
+    an = _normalize_chn(a)
+    bn = _normalize_chn(b)
+    return jnp.mean(1.0 - jnp.sum(an * bn, axis=0))
+
+
+def gram_matrix(feats: jnp.ndarray, center: bool = False) -> jnp.ndarray:
+    """``[C, C]`` Gram matrix of a ``[C, M]`` feature map (reference
+    ``nnfm_loss.py:116-126``)."""
+    if center:
+        feats = feats - feats.mean(axis=1, keepdims=True)
+    return feats @ feats.T
+
+
+def nnfm_losses(
+    x_feats: Sequence[jnp.ndarray],
+    s_feats: Sequence[jnp.ndarray],
+    loss_names: Sequence[str] = ("nnfm_loss",),
+    content_feats: Optional[Sequence[jnp.ndarray]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Aggregate style losses over per-block ``[C, H, W]`` feature maps.
+
+    Mirrors the loss accumulation of the reference forward
+    (``nnfm_loss.py:153-203``); the style/content targets are treated as
+    constants (``stop_gradient``).
+    """
+    for nm in loss_names:
+        assert nm in ("nnfm_loss", "content_loss", "gram_loss"), nm
+    out = {nm: jnp.zeros(()) for nm in loss_names}
+    for bi, (xf, sf) in enumerate(zip(x_feats, s_feats)):
+        x2 = xf.reshape(xf.shape[0], -1)
+        s2 = jax.lax.stop_gradient(sf.reshape(sf.shape[0], -1))
+        if "nnfm_loss" in out:
+            target = jax.lax.stop_gradient(nn_feat_replace(x2, s2))
+            out["nnfm_loss"] += cos_loss(x2, target)
+        if "gram_loss" in out:
+            n_x = x2.shape[1]
+            n_s = s2.shape[1]
+            out["gram_loss"] += jnp.mean(
+                (gram_matrix(x2) / n_x - gram_matrix(s2) / n_s) ** 2
+            )
+        if "content_loss" in out:
+            cf = jax.lax.stop_gradient(
+                content_feats[bi].reshape(x2.shape[0], -1)
+            )
+            out["content_loss"] += jnp.mean((cf - x2) ** 2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Feature extractors
+# ---------------------------------------------------------------------------
+
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def random_conv_features_fn(
+    key: Optional[jax.Array] = None,
+    widths: Sequence[int] = (64, 128, 256),
+) -> Callable:
+    """A hermetic multi-scale feature extractor: fixed random 3x3 conv +
+    relu + 2x2 average pool per block.  Returns ``features_fn(img_chw,
+    blocks) -> [per-block [C, H, W] maps]``."""
+    if key is None:
+        key = jax.random.PRNGKey(17)
+    kernels = []
+    c_in = 3
+    for w in widths:
+        key, k = jax.random.split(key)
+        kernels.append(
+            jax.random.normal(k, (w, c_in, 3, 3)) * np.sqrt(2.0 / (9 * c_in))
+        )
+        c_in = w
+
+    def features_fn(img_chw: jnp.ndarray, blocks: Sequence[int]):
+        x = (img_chw - _IMAGENET_MEAN[:, None, None]) / _IMAGENET_STD[
+            :, None, None
+        ]
+        feats = []
+        for bi, kern in enumerate(kernels):
+            x = jax.lax.conv_general_dilated(
+                x[None], kern, (1, 1), "SAME",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )[0]
+            x = jax.nn.relu(x)
+            if bi in blocks:
+                feats.append(x)
+            x = jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2), "VALID"
+            ) / 4.0
+        return feats
+
+    return features_fn
+
+
+def vgg16_features_fn() -> Callable:
+    """Pretrained VGG-16 block features via torchvision (exact reference
+    behavior, ``nnfm_loss.py:130-151``); raises ImportError when torchvision
+    is unavailable — use :func:`random_conv_features_fn` then."""
+    try:
+        import torch
+        import torchvision
+    except ImportError as e:
+        raise ImportError(
+            "vgg16_features_fn requires torchvision (not installed in this"
+            " environment); use random_conv_features_fn instead."
+        ) from e
+
+    vgg = torchvision.models.vgg16(pretrained=True).eval()
+
+    def features_fn(img_chw: jnp.ndarray, blocks: Sequence[int]):
+        layer_ids = []
+        for b in sorted(blocks):
+            layer_ids += VGG_BLOCK_INDEXES[b]
+        x = torch.from_numpy(np.asarray(img_chw, np.float32))[None]
+        x = (x - torch.tensor(_IMAGENET_MEAN)[None, :, None, None]) / (
+            torch.tensor(_IMAGENET_STD)[None, :, None, None]
+        )
+        outputs = {}
+        with torch.no_grad():
+            for ix, layer in enumerate(vgg.features):
+                x = layer(x)
+                if ix in layer_ids:
+                    outputs[ix] = jnp.asarray(x[0].numpy())
+                if ix == max(layer_ids):
+                    break
+        # concat the maps of each block along channels, as the reference does
+        feats = []
+        for b in sorted(blocks):
+            feats.append(
+                jnp.concatenate([outputs[i] for i in VGG_BLOCK_INDEXES[b]], 0)
+            )
+        return feats
+
+    return features_fn
+
+
+class NNFMLoss:
+    """Style-loss callable over rendered images (reference
+    ``NNFMLoss``, ``nnfm_loss.py:129-203``).
+
+    Args:
+        features_fn: ``(img_chw, blocks) -> [per-block [C, H, W]]``; defaults
+            to the hermetic random-conv extractor (torchvision VGG weights
+            are not available offline).
+    """
+
+    def __init__(self, features_fn: Optional[Callable] = None):
+        self.features_fn = features_fn or random_conv_features_fn()
+
+    def __call__(
+        self,
+        outputs: jnp.ndarray,           # [3, H, W] rendered image
+        styles: jnp.ndarray,            # [3, Hs, Ws] style image
+        blocks: Sequence[int] = (2,),
+        loss_names: Sequence[str] = ("nnfm_loss",),
+        contents: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        blocks = sorted(blocks)
+        x_feats = self.features_fn(outputs, blocks)
+        s_feats = self.features_fn(styles, blocks)
+        content_feats = (
+            self.features_fn(contents, blocks) if contents is not None
+            else None
+        )
+        return nnfm_losses(x_feats, s_feats, loss_names, content_feats)

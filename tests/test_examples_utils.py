@@ -1,0 +1,136 @@
+"""Tests for example-layer utilities: NNFM style loss, CO3D loader, IO."""
+
+import gzip
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightplane_tpu.utils.nnfm_loss import (
+    NNFMLoss,
+    cos_loss,
+    gram_matrix,
+    match_colors_for_image_set,
+    nn_feat_replace,
+    random_conv_features_fn,
+)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def test_nn_feat_replace_identity():
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (8, 20))
+    # matching against itself returns itself (each column is its own NN)
+    out = nn_feat_replace(a, a)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(a), atol=1e-5)
+    assert float(cos_loss(a, out)) < 1e-6
+
+
+def test_gram_matrix():
+    a = jnp.ones((4, 10))
+    g = gram_matrix(a)
+    np.testing.assert_allclose(np.asarray(g), 10.0 * np.ones((4, 4)))
+    gc = gram_matrix(a, center=True)
+    np.testing.assert_allclose(np.asarray(gc), np.zeros((4, 4)), atol=1e-6)
+
+
+def test_match_colors():
+    key = jax.random.PRNGKey(1)
+    imgs = jax.random.uniform(key, (2, 8, 8, 3)) * 0.5
+    style = jax.random.uniform(jax.random.PRNGKey(2), (8, 8, 3))
+    out, tf = match_colors_for_image_set(imgs, style)
+    assert out.shape == imgs.shape
+    assert tf.shape == (4, 4)
+    # recolored statistics move toward the style's mean
+    assert abs(
+        float(out.mean()) - float(style.mean())
+    ) < abs(float(imgs.mean()) - float(style.mean())) + 0.05
+
+
+def test_nnfm_loss_runs_and_grads():
+    loss_fn = NNFMLoss(features_fn=random_conv_features_fn(widths=(8, 16)))
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (3, 16, 16))
+    style = jax.random.uniform(jax.random.PRNGKey(1), (3, 16, 16))
+
+    def total(img):
+        d = loss_fn(img, style, blocks=[0, 1],
+                    loss_names=["nnfm_loss", "gram_loss", "content_loss"],
+                    contents=style)
+        return d["nnfm_loss"] + 1e-8 * d["gram_loss"] + d["content_loss"]
+
+    val, grad = jax.value_and_grad(total)(img)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+    # style loss of the style image against itself is ~0 (nnfm + content)
+    d_self = loss_fn(style, style, blocks=[0],
+                     loss_names=["nnfm_loss", "content_loss"],
+                     contents=style)
+    assert float(d_self["nnfm_loss"]) < 1e-4
+    assert float(d_self["content_loss"]) < 1e-10
+
+
+def _write_fake_co3d(root, n_frames=6, hw=(12, 10)):
+    """A miniature CO3D-format category with a single sequence."""
+    import imageio.v2 as imageio
+
+    cat = os.path.join(root, "toycat")
+    os.makedirs(os.path.join(cat, "images"), exist_ok=True)
+    H, W = hw
+    frames = []
+    rng = np.random.RandomState(0)
+    for i in range(n_frames):
+        rel = f"toycat/images/frame{i:03d}.jpg"
+        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(root, rel), img)
+        az = 2 * np.pi * i / n_frames
+        # a simple world-to-camera rotation + unit-distance translation
+        c, s = np.cos(az), np.sin(az)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        T = np.array([0.0, 0.0, 2.0])
+        frames.append({
+            "frame_number": i,
+            "sequence_name": "seq0",
+            "image": {"size": [H, W], "path": rel},
+            "viewpoint": {
+                "R": R.tolist(),
+                "T": T.tolist(),
+                "focal_length": [2.0, 2.0],
+                "principal_point": [0.0, 0.0],
+            },
+        })
+    with gzip.open(os.path.join(cat, "frame_annotations.jgz"), "wt") as f:
+        json.dump(frames, f)
+
+
+def test_co3d_loader(tmp_path):
+    from utils.datasets import auto_dataset, load_co3d
+
+    root = str(tmp_path)
+    _write_fake_co3d(root)
+    ds = load_co3d(root, split="train", hold_every=3)
+    assert ds.n_images == 4  # 6 frames, every 3rd held out
+    assert ds.height == 12 and ds.width == 10
+    assert ds.origins.shape == (4 * 12 * 10, 3)
+    assert np.all(np.isfinite(ds.origins))
+    assert np.all(np.isfinite(ds.directions))
+    assert ds.gt.min() >= 0.0 and ds.gt.max() <= 1.0
+    # camera normalization: origins should be ~unit distance from center
+    d = np.linalg.norm(ds.origins.reshape(4, -1, 3)[:, 0], axis=-1)
+    assert np.all(d < 5.0) and np.all(d > 0.05)
+    # auto-detect routes to co3d
+    ds2 = auto_dataset(root, "auto", split="test", hold_every=3)
+    assert ds2.n_images == 2
+
+
+def test_write_video(tmp_path):
+    from lightplane_tpu.utils.io_utils import write_video
+
+    frames = [np.zeros((8, 8, 3), np.float32) + i / 4 for i in range(4)]
+    out = write_video(str(tmp_path / "v.mp4"), frames, fps=4)
+    assert os.path.exists(out)
