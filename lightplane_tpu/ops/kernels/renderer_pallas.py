@@ -55,8 +55,37 @@ from ..mlp_utils import _flattened_one_mlp_params_to_list, _mlp_numel
 MAX_CELLS_PER_GRID = 8192
 RAY_BLOCK = 512
 
+# March steps batched per loop iteration: sampling stencils and MLP matmuls
+# run on [MARCH_CHUNK * RAY_BLOCK, ...] blocks (bigger MXU tiles, fewer loop
+# iterations), while the inherently sequential EA recurrence is unrolled
+# over the chunk on cheap [RAY_BLOCK, ...] vectors.  The backward kernel
+# keeps more live per chunk (MLP residuals + sample AND splat stencils), so
+# it uses a smaller chunk to fit the VMEM stack.
+MARCH_CHUNK = 8
+MARCH_CHUNK_BW = 4
+# Head-MLP block-diagonal packing (see _pack_heads): measured SLOWER on
+# v5e than separate skinny matmuls — the per-chunk [M, Ko+Kc] concatenates
+# cost more VPU than the saved MXU passes.  Kept for experimentation.
+FW_PACK_HEADS = False
+BW_PACK_HEADS = False
+
 # Run kernels in the Pallas interpreter (for CPU testing of kernel logic).
 INTERPRET = False
+
+# The march loop's stencils + MLP activations are scoped (stack) VMEM; the
+# Mosaic default scoped limit (16 MiB) is too small for 512-ray blocks over
+# benchmark-size triplanes.  v5e/v5p have 128 MiB VMEM per core; leave
+# headroom for the pipelined input/output blocks.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+def _cdt(cfg):
+    """The kernel's matmul input dtype from cfg (default float32)."""
+    return (
+        jnp.bfloat16
+        if getattr(cfg, "compute_dtype", "float32") == "bfloat16"
+        else jnp.float32
+    )
+
 
 INT32_PRIME = 105097564
 _MAX_INT_32_F = 2147483647.0
@@ -172,18 +201,17 @@ def _step_depth_delta(cfg, near, far, s):
     return t, delta
 
 
-def _axis_factor(iota_axis, f, size, weight_lo, weight_hi):
-    """One separable stencil factor over a flat-cell iota component:
-    ``(iota==floor(f))*w_lo + (iota==floor(f)+1)*w_hi``.
+def _hat(iota_axis, f):
+    """Bilinear hat weight of each cell against coordinate ``f``:
+    ``max(0, 1 - |iota - f|)``.
 
-    ``iota_axis``: [1, V_g] int32; ``f``: [B, 1] float coordinate in cell
-    units.  OOB corner indices match no cell -> zero contribution.
+    Identical to the two-corner form ``(iota==lo)*(1-t) + (iota==lo+1)*t``
+    of the reference sampler (``grid_sample_util.py:780-974``), including
+    the zeros-padding OOB semantics (cells outside [0, S) simply aren't in
+    the iota), but 2 VPU ops cheaper per element — this runs on [B, V_g]
+    tiles in the hottest loop.
     """
-    lo = jnp.floor(f).astype(jnp.int32)
-    return (
-        jnp.where(iota_axis == lo, weight_lo, 0.0)
-        + jnp.where(iota_axis == lo + 1, weight_hi, 0.0)
-    )
+    return jnp.maximum(0.0, 1.0 - jnp.abs(iota_axis.astype(jnp.float32) - f))
 
 
 def _stencil(info: _GridInfo, iotas, pts, gsel):
@@ -202,17 +230,10 @@ def _stencil(info: _GridInfo, iotas, pts, gsel):
             return jnp.zeros_like(p)
         return ((p + 1.0) * 0.5) * S - 0.5
 
-    fx = coords(x, info.W)
-    fy = coords(y, info.H)
-    fz = coords(z, info.D)
-    tx = fx - jnp.floor(fx)
-    ty = fy - jnp.floor(fy)
-    tz = fz - jnp.floor(fz)
-
-    st = _axis_factor(xv, fx, info.W, 1.0 - tx, tx)
-    st = st * _axis_factor(yv, fy, info.H, 1.0 - ty, ty)
+    st = _hat(xv, coords(x, info.W))
+    st = st * _hat(yv, coords(y, info.H))
     if info.D > 1:
-        st = st * _axis_factor(zv, fz, info.D, 1.0 - tz, tz)
+        st = st * _hat(zv, coords(z, info.D))
     # (for D == 1 the z coordinate collapses to cell 0 == all cells)
     if info.batch > 1:
         st = st * jnp.where(bv == gsel, 1.0, 0.0)
@@ -228,28 +249,50 @@ def _make_iotas(info: _GridInfo):
     return bv, zv, yv, xv
 
 
-def _sample(grid_ref, infos, iotas_list, pts, gsel, mask_oob):
+def _stencils(infos, iotas_list, pts, gsel, cdt=jnp.float32):
+    """All sub-grid stencils for one point batch (built once; the bw
+    kernel reuses them for both the sample and the transpose splat)."""
+    return [
+        _stencil(info, iotas, pts, gsel).astype(cdt)
+        for info, iotas in zip(infos, iotas_list)
+    ]
+
+
+def _oob_mask(pts):
+    return jnp.all(jnp.abs(pts) <= 1.0, axis=-1, keepdims=True)
+
+
+def _sample_sts(sts, grid_ref, infos, pts, mask_oob, cdt=jnp.float32):
     """Stencil-matmul sample of the summed grid-list: [B, C]."""
     out = None
-    for info, iotas in zip(infos, iotas_list):
-        st = _stencil(info, iotas, pts, gsel)
-        g = grid_ref[info.offset: info.offset + info.cells, :]
+    for st, info in zip(sts, infos):
+        g = grid_ref[info.offset: info.offset + info.cells, :].astype(cdt)
         smp = jnp.dot(st, g, preferred_element_type=jnp.float32)
         out = smp if out is None else out + smp
     if mask_oob:
-        inb = jnp.all(jnp.abs(pts) <= 1.0, axis=-1, keepdims=True)
-        out = out * inb.astype(out.dtype)
+        out = out * _oob_mask(pts).astype(out.dtype)
     return out
 
 
-def _splat_accum(grad_ref, infos, iotas_list, pts, gsel, mask_oob, dval):
+def _sample(grid_ref, infos, iotas_list, pts, gsel, mask_oob,
+            cdt=jnp.float32):
+    """Stencil-matmul sample of the summed grid-list: [B, C].
+
+    ``cdt`` is the matmul input dtype: bfloat16 runs the stencil products
+    at the MXU's native rate with f32 accumulation (opt-in; see
+    ``lightplane_renderer(compute_dtype=...)``)."""
+    sts = _stencils(infos, iotas_list, pts, gsel, cdt)
+    return _sample_sts(sts, grid_ref, infos, pts, mask_oob, cdt)
+
+
+def _splat_sts(sts, grad_ref, infos, pts, mask_oob, dval,
+               cdt=jnp.float32):
     """grad_grid += stencil.T @ dval for each sub-grid (the deterministic
-    replacement for atomic splats)."""
+    replacement for atomic splats), on prebuilt stencils."""
     if mask_oob:
-        inb = jnp.all(jnp.abs(pts) <= 1.0, axis=-1, keepdims=True)
-        dval = dval * inb.astype(dval.dtype)
-    for info, iotas in zip(infos, iotas_list):
-        st = _stencil(info, iotas, pts, gsel)
+        dval = dval * _oob_mask(pts).astype(dval.dtype)
+    dval = dval.astype(cdt)
+    for st, info in zip(sts, infos):
         # contract over the ray axis: [V_g, C] = st^T @ dval
         upd = jax.lax.dot_general(
             st, dval, (((0,), (0,)), ((), ())),
@@ -259,12 +302,21 @@ def _splat_accum(grad_ref, infos, iotas_list, pts, gsel, mask_oob, dval):
         grad_ref[sl, :] += upd
 
 
-def _mlp_fwd(x, weights, biases, final_relu=False):
+def _splat_accum(grad_ref, infos, iotas_list, pts, gsel, mask_oob, dval,
+                 cdt=jnp.float32):
+    """Build-and-splat convenience wrapper over :func:`_splat_sts`."""
+    sts = _stencils(infos, iotas_list, pts, gsel, cdt)
+    _splat_sts(sts, grad_ref, infos, pts, mask_oob, dval, cdt)
+
+
+def _mlp_fwd(x, weights, biases, final_relu=False, cdt=jnp.float32):
     """Right-multiplying MLP; relu between layers.  Returns the output and
-    the per-layer (input, preact) pairs for the hand-written backward."""
+    the per-layer (input, preact) pairs for the hand-written backward.
+    Matmul inputs cast to ``cdt``; pre-activations accumulate in f32."""
     saved = []
     for l, (w, b) in enumerate(zip(weights, biases)):
-        pre = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+        pre = jnp.dot(x.astype(cdt), w.astype(cdt),
+                      preferred_element_type=jnp.float32) + b
         saved.append((x, pre))
         x = pre
         if l < len(weights) - 1 or final_relu:
@@ -272,7 +324,7 @@ def _mlp_fwd(x, weights, biases, final_relu=False):
     return x, saved
 
 
-def _mlp_bwd(g, saved, weights, final_relu=False):
+def _mlp_bwd(g, saved, weights, final_relu=False, cdt=jnp.float32):
     """Backward of :func:`_mlp_fwd`; returns (g_input, [(dW, db), ...])."""
     grads = [None] * len(weights)
     n = len(weights)
@@ -282,46 +334,144 @@ def _mlp_bwd(g, saved, weights, final_relu=False):
             g = g * (pre > 0.0).astype(g.dtype)
         # dW = x_in^T @ g ; g_in = g @ W^T — via dot_general, no transposes
         dw = jax.lax.dot_general(
-            x_in, g, (((0,), (0,)), ((), ())),
+            x_in.astype(cdt), g.astype(cdt), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         db = jnp.sum(g, axis=0, keepdims=True)
         grads[l] = (dw, db)
         g = jax.lax.dot_general(
-            g, weights[l], (((1,), (1,)), ((), ())),
+            g.astype(cdt), weights[l].astype(cdt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     return g, grads
+
+
+def _pack_heads(w_o, b_o, w_c, b_c):
+    """Block-diagonal K-packing of the opacity and color head MLPs: layer
+    i of both heads runs as ONE ``[M, Ko+Kc] @ [Ko+Kc, No+Nc]`` matmul.
+
+    The MXU streams M rows per pass, so two skinny head matmuls cost two
+    full passes; the packed block-diagonal form does both in one.  Exact:
+    the off-diagonal zero blocks contribute exactly 0.  Returns None when
+    the heads have different depths (rare; callers fall back to separate
+    :func:`_mlp_fwd` chains).
+    """
+    if len(w_o) != len(w_c) or len(w_o) == 0:
+        return None
+    packed = []
+    for wo, bo, wc, bc in zip(w_o, b_o, w_c, b_c):
+        ko, no = wo.shape
+        kc, nc = wc.shape
+        wp = jnp.concatenate([
+            jnp.concatenate([wo, jnp.zeros((ko, nc), wo.dtype)], axis=1),
+            jnp.concatenate([jnp.zeros((kc, no), wc.dtype), wc], axis=1),
+        ], axis=0)
+        bp = jnp.concatenate([bo, bc], axis=1)
+        packed.append((wp, bp, (ko, kc, no, nc)))
+    return packed
+
+
+def _heads_fwd(x_o, x_c, packed, cdt=jnp.float32):
+    """Packed forward of both head MLPs (relu between layers, none at the
+    end).  Returns ``(op_pre, col_pre, saved)``."""
+    saved = []
+    n = len(packed)
+    for i, (wp, bp, (ko, kc, no, nc)) in enumerate(packed):
+        x_pack = jnp.concatenate([x_o, x_c], axis=1)
+        pre = jnp.dot(x_pack.astype(cdt), wp.astype(cdt),
+                      preferred_element_type=jnp.float32) + bp
+        saved.append((x_pack, pre))
+        x_o, x_c = pre[:, :no], pre[:, no:]
+        if i < n - 1:
+            x_o = jnp.maximum(x_o, 0.0)
+            x_c = jnp.maximum(x_c, 0.0)
+    return x_o, x_c, saved
+
+
+def _heads_bwd(g_o, g_c, saved, packed, cdt=jnp.float32):
+    """Backward of :func:`_heads_fwd`: returns ``(g_xo, g_xc, grads_o,
+    grads_c)`` with per-layer (dW, db) lists (cross-blocks of the packed
+    dW are discarded)."""
+    n = len(packed)
+    grads_o = [None] * n
+    grads_c = [None] * n
+    for i in range(n - 1, -1, -1):
+        wp, bp, (ko, kc, no, nc) = packed[i]
+        x_pack, pre = saved[i]
+        g_pack = jnp.concatenate([g_o, g_c], axis=1)
+        if i < n - 1:
+            g_pack = g_pack * (pre > 0.0).astype(g_pack.dtype)
+        dw = jax.lax.dot_general(
+            x_pack.astype(cdt), g_pack.astype(cdt),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db = jnp.sum(g_pack, axis=0, keepdims=True)
+        grads_o[i] = (dw[:ko, :no], db[:, :no])
+        grads_c[i] = (dw[ko:, no:], db[:, no:])
+        g_in = jax.lax.dot_general(
+            g_pack.astype(cdt), wp.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g_o, g_c = g_in[:, :ko], g_in[:, ko:]
+    return g_o, g_c, grads_o, grads_c
 
 
 def _d_softplus(x):
     return jax.nn.sigmoid(x)
 
 
-def _decoder_fwd(cfg, feat, cfeat, enc, noise, mlps):
-    """Shared fw decoder math; returns (sigma, color, residuals)."""
+def _decoder_fwd(cfg, feat, cfeat, enc, noise, mlps, packed_heads=None,
+                 t1_folded=False):
+    """Shared fw decoder math; returns (sigma, color, residuals).
+
+    ``packed_heads``: block-diagonal packed head layers (see
+    :func:`_pack_heads`); built once in the kernel prologue.
+    ``t1_folded``: ``feat`` is already the trunk layer-1 pre-activation
+    sans bias — the fw sampling matmul ran on ``G @ W_t1`` (associativity:
+    ``(st @ G) @ W1 == st @ (G @ W1)``), eliminating one matmul pass per
+    chunk.  fw-only; the bw recompute keeps the unfolded path because it
+    needs ``feat`` for dW_t1.
+    """
+    cdt = _cdt(cfg)
     (w_t, b_t, w_o, b_o, w_c, b_c) = mlps
     if cfg.color_grid_sizes is None:
-        if len(w_t) > 0:
-            trunk, sv_t = _mlp_fwd(feat, w_t, b_t, final_relu=True)
+        if t1_folded:
+            pre0 = feat + b_t[0]
+            sv_t = [(None, pre0)]
+            x = jnp.maximum(pre0, 0.0)
+            if len(w_t) > 1:
+                trunk, sv_rest = _mlp_fwd(x, w_t[1:], b_t[1:],
+                                          final_relu=True, cdt=cdt)
+                sv_t = sv_t + sv_rest
+            else:
+                trunk = x
+        elif len(w_t) > 0:
+            trunk, sv_t = _mlp_fwd(feat, w_t, b_t, final_relu=True, cdt=cdt)
         else:
             # 0-layer trunk: the post-MLP relu still applies to the raw
             # sampled feature (reference naive_renderer.py:392-399)
             trunk, sv_t = jnp.maximum(feat, 0.0), []
-        op_pre, sv_o = _mlp_fwd(trunk, w_o, b_o)
-        col_pre, sv_c = _mlp_fwd(trunk + enc, w_c, b_c)
+        x_o, x_c = trunk, trunk + enc
     else:
-        feat_r = jnp.maximum(feat, 0.0)
-        cfeat_r = jnp.maximum(cfeat, 0.0)
         sv_t = None
-        op_pre, sv_o = _mlp_fwd(feat_r, w_o, b_o)
-        col_pre, sv_c = _mlp_fwd(cfeat_r + enc, w_c, b_c)
+        x_o = jnp.maximum(feat, 0.0)
+        x_c = jnp.maximum(cfeat, 0.0) + enc
+    if packed_heads is not None:
+        op_pre, col_pre, sv_h = _heads_fwd(x_o, x_c, packed_heads, cdt)
+        sv_o = sv_c = None
+    else:
+        sv_h = None
+        op_pre, sv_o = _mlp_fwd(x_o, w_o, b_o, cdt=cdt)
+        col_pre, sv_c = _mlp_fwd(x_c, w_c, b_c, cdt=cdt)
     op_raw = op_pre[:, 0:1]
     if noise is not None:
         op_raw = op_raw + noise
     sigma = cfg.gain * jax.nn.softplus(op_raw)
-    color = jax.nn.sigmoid(col_pre)
-    return sigma, color, (sv_t, sv_o, sv_c, op_raw, color, feat, cfeat)
+    color = jnp.asarray(jax.nn.sigmoid(col_pre))
+    return sigma, color, (
+        sv_t, sv_o, sv_c, sv_h, op_raw, color, feat, cfeat
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -329,7 +479,89 @@ def _decoder_fwd(cfg, feat, cfeat, enc, noise, mlps):
 # ---------------------------------------------------------------------------
 
 
-def _build_fw_kernel(cfg, infos, cinfos, n_mlp):
+def _march_chunk(cfg, bw=False):
+    """Steps batched per loop iteration (padded loop; see kernel bodies)."""
+    return min(MARCH_CHUNK_BW if bw else MARCH_CHUNK,
+               cfg.tot_num_samples)
+
+
+class _ChunkRays:
+    """Loop-invariant K-tiled ray state, built ONCE before the march loop
+    (tiles and iota divisions must not sit inside the fori_loop body)."""
+
+    def __init__(self, cfg, K, origins, dirs, near, far, gsel, enc, ray_ids):
+        B = near.shape[0]
+        tile = lambda a: jnp.concatenate([a] * K, axis=0) if K > 1 else a
+        self.K, self.B = K, B
+        self.k_col = jax.lax.broadcasted_iota(
+            jnp.int32, (K * B, 1), 0
+        ) // B
+        self.origins = tile(origins)
+        self.dirs = tile(dirs)
+        self.near = tile(near)
+        self.far = tile(far)
+        self.gsel = tile(gsel)
+        self.enc = tile(enc)
+        self.ray_ids = (
+            tile(ray_ids) if cfg.inject_noise_sigma > 0.0 else None
+        )
+
+
+def _chunk_geom(cfg, cr: _ChunkRays, s0_of_k):
+    """Chunk prologue: depth/delta/points/noise indices for K consecutive
+    march steps stacked k-major into ``[K*B, ...]`` rows.
+
+    ``s0_of_k(k_col)`` maps the within-chunk row's k to the step index s
+    (ascending for fw, descending for bw).  Steps outside [0, S) are
+    clamped for the math and flagged invalid (their sigma is zeroed).
+    """
+    S = cfg.tot_num_samples
+    s = s0_of_k(cr.k_col)
+    valid = jnp.logical_and(s >= 0, s < S)
+    s_c = jnp.clip(s, 0, S - 1)
+
+    t, delta = _step_depth_delta(cfg, cr.near, cr.far, s_c)
+    pts = cr.origins + t * cr.dirs
+    if cfg.contract_coords:
+        pts = _contract_pi(pts)
+
+    noise_i1 = None
+    if cfg.inject_noise_sigma > 0.0:
+        noise_i1 = S * cr.ray_ids + s_c + 1
+    return s_c, valid, t, delta, pts, noise_i1
+
+
+def _chunk_decoder(cfg, grid_ref, cgrid_ref, infos, cinfos, iotas_list,
+                   ciotas_list, pts, gsel_r, enc_r, noise_i1, seed, valid,
+                   mlps, packed_heads=None, t1_folded=False, sts=None):
+    """Batched sample + decoder fw for one chunk: [K*B, ...] rows.
+
+    ``sts``: optional prebuilt main-grid stencils (the bw kernel builds
+    them once and reuses them for the gradient splat).
+    """
+    cdt = _cdt(cfg)
+    if sts is None:
+        sts = _stencils(infos, iotas_list, pts, gsel_r, cdt)
+    feat = _sample_sts(sts, grid_ref, infos, pts,
+                       cfg.mask_out_of_bounds_samples, cdt=cdt)
+    cfeat = (
+        _sample(cgrid_ref, cinfos, ciotas_list, pts, gsel_r,
+                cfg.mask_out_of_bounds_samples, cdt=cdt)
+        if cgrid_ref is not None else None
+    )
+    noise = None
+    if cfg.inject_noise_sigma > 0.0:
+        i2 = noise_i1 + max(cfg.num_rays_noise, MIN_BLOCK_SIZE) * (
+            cfg.tot_num_samples
+        )
+        noise = _int_to_randn(noise_i1, i2, seed) * cfg.inject_noise_sigma
+    sigma, color, res = _decoder_fwd(cfg, feat, cfeat, enc_r, noise, mlps,
+                                     packed_heads, t1_folded)
+    sigma = sigma * valid.astype(sigma.dtype)
+    return sigma, color, res, feat, cfeat
+
+
+def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False):
     n_t, n_o, n_c = n_mlp
     C_col = cfg.n_hidden_color[-1]
     has_cgrid = cfg.color_grid_sizes is not None
@@ -368,42 +600,42 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp):
         )
 
         S = cfg.tot_num_samples
+        K = _march_chunk(cfg)
+        n_chunks = (S + K - 1) // K
+        cr = _ChunkRays(cfg, K, origins, dirs, near, far, gsel, enc,
+                        ray_ids)
+        (w_t, b_t, w_o, b_o, w_c, b_c) = mlps
+        packed_heads = (
+            _pack_heads(w_o, b_o, w_c, b_c) if FW_PACK_HEADS else None
+        )
 
-        def body(s, carry):
+        def body(ci, carry):
             nlt, depth_acc, feat_acc = carry
-            t, delta = _step_depth_delta(cfg, near, far, s)
-            pts = origins + t * dirs
-            if cfg.contract_coords:
-                pts = _contract_pi(pts)
-            feat = _sample(grid_ref, infos, iotas_list, pts, gsel,
-                           cfg.mask_out_of_bounds_samples)
-            cfeat = (
-                _sample(cgrid_ref, cinfos, ciotas_list, pts, gsel,
-                        cfg.mask_out_of_bounds_samples)
-                if has_cgrid else None
+            s0 = ci * K
+            _, valid, t, delta, pts, noise_i1 = _chunk_geom(
+                cfg, cr, lambda k_col: s0 + k_col,
             )
-            noise = None
-            if cfg.inject_noise_sigma > 0.0:
-                i1 = S * ray_ids + s + 1
-                i2 = i1 + max(cfg.num_rays_noise, MIN_BLOCK_SIZE) * S
-                noise = (
-                    _int_to_randn(i1, i2, seed) * cfg.inject_noise_sigma
-                )
-            sigma, color, _ = _decoder_fwd(cfg, feat, cfeat, enc, noise, mlps)
-            nlt_new = nlt + sigma * delta
-            w = jnp.exp(-nlt) - jnp.exp(-nlt_new)
-            return (
-                nlt_new,
-                depth_acc + w * t,
-                feat_acc + w * color,
+            sigma, color, _, _, _ = _chunk_decoder(
+                cfg, grid_ref, cgrid_ref, infos, cinfos, iotas_list,
+                ciotas_list, pts, cr.gsel, cr.enc, noise_i1, seed, valid,
+                mlps, packed_heads, t1_folded,
             )
+            # sequential EA over the chunk (cheap [B, .] vector ops)
+            for k in range(K):
+                r = slice(k * B, (k + 1) * B)
+                nlt_new = nlt + sigma[r] * delta[r]
+                w = jnp.exp(-nlt) - jnp.exp(-nlt_new)
+                depth_acc = depth_acc + w * t[r]
+                feat_acc = feat_acc + w * color[r]
+                nlt = nlt_new
+            return (nlt, depth_acc, feat_acc)
 
         init = (
             jnp.zeros((B, 1), jnp.float32),
             jnp.zeros((B, 1), jnp.float32),
             jnp.zeros((B, C_col), jnp.float32),
         )
-        nlt, depth_acc, feat_acc = jax.lax.fori_loop(0, S, body, init)
+        nlt, depth_acc, feat_acc = jax.lax.fori_loop(0, n_chunks, body, init)
         depth_ref[:] = depth_acc
         nlt_ref[:] = nlt
         feat_ref[:] = feat_acc
@@ -482,10 +714,20 @@ def pallas_render_fwd(cfg, geom, diff):
     n_mlp = (len(w_t), len(w_o), len(w_c))
     C_col = cfg.n_hidden_color[-1]
 
+    # Fold trunk layer 1 into the sampling matmul: st @ (G @ W_t1) ==
+    # (st @ G) @ W_t1, so premultiplying the flat grid by W_t1 (one tiny
+    # [V, C] @ [C, H] XLA matmul per call) saves one full MXU pass per
+    # march chunk inside the kernel.  fw only (bw needs feat for dW_t1).
+    t1_folded = cfg.color_grid_sizes is None and len(w_t) > 0
+    if t1_folded:
+        grid_flat = jnp.dot(
+            grid_flat, w_t[0], preferred_element_type=jnp.float32
+        )
+
     arrs, seed, R, R_pad = _ray_inputs(cfg, geom, rays_encoding)
     n_blocks = R_pad // RAY_BLOCK
 
-    kernel = _build_fw_kernel(cfg, infos, cinfos, n_mlp)
+    kernel = _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded)
 
     ray_specs = [
         pl.BlockSpec((RAY_BLOCK, a.shape[1]), lambda b: (b, 0),
@@ -529,6 +771,7 @@ def pallas_render_fwd(cfg, geom, diff):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
     )(*inputs)
     return depth[:R, 0], nlt[:R, 0], feat[:R]
 
@@ -603,83 +846,110 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp):
                 zs.append(jnp.zeros_like(w))
             return tuple(zs)
 
-        def body(k, carry):
-            s = S - 1 - k
+        K = _march_chunk(cfg, bw=True)
+        n_chunks = (S + K - 1) // K
+        cr = _ChunkRays(cfg, K, origins, dirs, near, far, gsel, enc,
+                        ray_ids)
+        packed_heads = (
+            _pack_heads(w_o, b_o, w_c, b_c) if BW_PACK_HEADS else None
+        )
+        cdt = _cdt(cfg)
+
+        def body(ci, carry):
             (nlt_run, suffix, genc_acc, gmlp_acc) = carry
-            t, delta = _step_depth_delta(cfg, near, far, s)
-            pts = origins + t * dirs
-            if cfg.contract_coords:
-                pts = _contract_pi(pts)
-            feat = _sample(grid_ref, infos, iotas_list, pts, gsel,
-                           cfg.mask_out_of_bounds_samples)
-            cfeat = (
-                _sample(cgrid_ref, cinfos, ciotas_list, pts, gsel,
-                        cfg.mask_out_of_bounds_samples)
-                if has_cgrid else None
+            # chunk covers s = S-1-ci*K - k, k = 0..K-1 (descending s)
+            s_hi = S - 1 - ci * K
+            _, valid, t, delta, pts, noise_i1 = _chunk_geom(
+                cfg, cr, lambda k_col: s_hi - k_col,
             )
-            noise = None
-            if cfg.inject_noise_sigma > 0.0:
-                i1 = S * ray_ids + s + 1
-                i2 = i1 + max(cfg.num_rays_noise, MIN_BLOCK_SIZE) * S
-                noise = _int_to_randn(i1, i2, seed) * cfg.inject_noise_sigma
+            # ---- batched recompute of the forward decoder ----
+            # main-grid stencils built ONCE: reused by the sample here and
+            # by the gradient splat below (the bw kernel's biggest VPU
+            # cost is stencil construction)
+            sts = _stencils(infos, iotas_list, pts, cr.gsel, cdt)
+            sigma, color, res, feat, cfeat = _chunk_decoder(
+                cfg, grid_ref, cgrid_ref, infos, cinfos, iotas_list,
+                ciotas_list, pts, cr.gsel, cr.enc, noise_i1, seed, valid,
+                mlps, packed_heads, sts=sts,
+            )
+            sv_t, sv_o, sv_c, sv_h, op_raw, _, _, _ = res
 
-            # ---- recompute forward decoder, saving residuals ----
-            sigma, color, res = _decoder_fwd(cfg, feat, cfeat, enc, noise,
-                                             mlps)
-            sv_t, sv_o, sv_c, op_raw, _, _, _ = res
+            # ---- sequential EA adjoint with transmittance rewind ----
+            g_sigma_ks, g_color_ks = [], []
+            for k in range(K):
+                r = slice(k * B, (k + 1) * B)
+                s_s = sigma[r] * delta[r]
+                nlt_prev = nlt_run - s_s
+                T = jnp.exp(-nlt_run)
+                T_prev = jnp.exp(-nlt_prev)
+                w = T_prev - T
+                g_w = g_depth * t[r] + jnp.sum(
+                    g_feat * color[r], axis=1, keepdims=True
+                )
+                g_s = g_w * T - suffix + g_nlt
+                g_sigma_ks.append(
+                    g_s * delta[r] * valid[r].astype(jnp.float32)
+                )
+                g_color_ks.append(w * g_feat)
+                suffix = suffix + g_w * w
+                nlt_run = nlt_prev
+            g_sigma = (
+                jnp.concatenate(g_sigma_ks, axis=0) if K > 1
+                else g_sigma_ks[0]
+            )
+            g_color = (
+                jnp.concatenate(g_color_ks, axis=0) if K > 1
+                else g_color_ks[0]
+            )
 
-            # ---- EA adjoint with transmittance rewind ----
-            s_s = sigma * delta
-            nlt_prev = nlt_run - s_s
-            T = jnp.exp(-nlt_run)
-            T_prev = jnp.exp(-nlt_prev)
-            w = T_prev - T
-            g_w = g_depth * t + jnp.sum(g_feat * color, axis=1,
-                                        keepdims=True)
-            g_s = g_w * T - suffix + g_nlt
-            g_sigma = g_s * delta
-            g_color = w * g_feat
-
-            # ---- decoder backward (hand-written chain) ----
+            # ---- batched decoder backward (hand-written chain) ----
             g_op_raw = g_sigma * cfg.gain * _d_softplus(op_raw)
             g_col_pre = g_color * color * (1.0 - color)
 
             if w_o[-1].shape[1] > 1:
                 g_op_full = jnp.concatenate(
                     [g_op_raw,
-                     jnp.zeros((B, w_o[-1].shape[1] - 1), jnp.float32)],
+                     jnp.zeros((K * B, w_o[-1].shape[1] - 1), jnp.float32)],
                     axis=1,
                 )
             else:
                 g_op_full = g_op_raw
 
+            if packed_heads is not None:
+                g_ot_in, g_ct_in, grads_o, grads_c = _heads_bwd(
+                    g_op_full, g_col_pre, sv_h, packed_heads, cdt)
+            else:
+                g_ct_in, grads_c = _mlp_bwd(g_col_pre, sv_c, w_c, cdt=cdt)
+                g_ot_in, grads_o = _mlp_bwd(g_op_full, sv_o, w_o, cdt=cdt)
             if not has_cgrid:
-                g_ct_in, grads_c = _mlp_bwd(g_col_pre, sv_c, w_c)
-                g_ot_in, grads_o = _mlp_bwd(g_op_full, sv_o, w_o)
                 g_trunk = g_ct_in + g_ot_in
                 if n_t > 0:
                     g_feat_s, grads_t = _mlp_bwd(g_trunk, sv_t, w_t,
-                                                 final_relu=True)
+                                                 final_relu=True, cdt=cdt)
                 else:
                     grads_t = []
                     g_feat_s = g_trunk * (feat > 0.0).astype(jnp.float32)
                 g_cfeat_s = None
                 g_enc_step = g_ct_in
             else:
-                g_cr_in, grads_c = _mlp_bwd(g_col_pre, sv_c, w_c)
-                g_or_in, grads_o = _mlp_bwd(g_op_full, sv_o, w_o)
                 grads_t = []
                 # relu-field masks
-                g_feat_s = g_or_in * (feat > 0.0).astype(jnp.float32)
-                g_cfeat_s = g_cr_in * (cfeat > 0.0).astype(jnp.float32)
-                g_enc_step = g_cr_in
+                g_feat_s = g_ot_in * (feat > 0.0).astype(jnp.float32)
+                g_cfeat_s = g_ct_in * (cfeat > 0.0).astype(jnp.float32)
+                g_enc_step = g_ct_in
 
-            # ---- grid-gradient splat (stencil.T matmul) ----
-            _splat_accum(ggrid_ref, infos, iotas_list, pts, gsel,
-                         cfg.mask_out_of_bounds_samples, g_feat_s)
+            # ---- grid-gradient splat (shared stencils, whole chunk) ----
+            _splat_sts(sts, ggrid_ref, infos, pts,
+                       cfg.mask_out_of_bounds_samples, g_feat_s, cdt=cdt)
             if has_cgrid:
-                _splat_accum(gcgrid_ref, cinfos, ciotas_list, pts, gsel,
-                             cfg.mask_out_of_bounds_samples, g_cfeat_s)
+                _splat_accum(gcgrid_ref, cinfos, ciotas_list, pts, cr.gsel,
+                             cfg.mask_out_of_bounds_samples, g_cfeat_s,
+                             cdt=cdt)
+
+            # ray-encoding grad: reduce the chunk's rows per ray
+            genc_acc = genc_acc + sum(
+                g_enc_step[k * B: (k + 1) * B] for k in range(K)
+            )
 
             # order must match (*w_t, *b_t, *w_o, *b_o, *w_c, *b_c)
             flat_grads = (
@@ -689,12 +959,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp):
             )
             gmlp_new = tuple(a + g for a, g in zip(gmlp_acc, flat_grads))
 
-            return (
-                nlt_prev,
-                suffix + g_w * w,
-                genc_acc + g_enc_step,
-                gmlp_new,
-            )
+            return (nlt_run, suffix, genc_acc, gmlp_new)
 
         init = (
             nltf_ref[:],
@@ -702,7 +967,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp):
             jnp.zeros_like(enc),
             make_zero_mlp_grads(),
         )
-        nlt_end, _, genc, gmlp = jax.lax.fori_loop(0, S, body, init)
+        nlt_end, _, genc, gmlp = jax.lax.fori_loop(0, n_chunks, body, init)
         genc_ref[:] = genc
         for r, g in zip(gmlp_refs, gmlp):
             r[...] += g.reshape(r.shape)
@@ -779,6 +1044,7 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
     )(*inputs)
 
     outs = list(outs)

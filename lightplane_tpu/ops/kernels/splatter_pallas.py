@@ -170,6 +170,7 @@ def pallas_splat_fwd(cfg, geom, diff):
         out_specs=full((V, C + 1)),
         out_shape=jax.ShapeDtypeStruct((V, C + 1), jnp.float32),
         interpret=_rp.INTERPRET,
+        compiler_params=_rp._COMPILER_PARAMS,
     )(*inputs)
     return acc[:, :C], acc[:, C:]
 
@@ -321,6 +322,7 @@ def pallas_splat_bwd(cfg, geom, diff, g_feat_grid):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=_rp.INTERPRET,
+        compiler_params=_rp._COMPILER_PARAMS,
     )(*inputs)
     outs = list(outs) if isinstance(outs, (list, tuple)) else [outs]
     g_enc = outs.pop(0)[:R]

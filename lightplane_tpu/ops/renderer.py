@@ -51,6 +51,19 @@ from .rays import Rays
 import numpy as np
 
 
+def zeros_with_vma(shape, dtype, ref):
+    """Zeros whose shard_map varying-axes match ``ref``.
+
+    Under ``shard_map`` (jax >= 0.9 vma type system), a ``lax.scan`` carry
+    initialized with plain ``jnp.zeros`` is *unvarying* while the body's
+    output (derived from sharded rays) is *varying over the mesh axis* —
+    a carry type mismatch.  Adding a varying zero scalar derived from a
+    sharded input fixes the carry type; outside shard_map this folds away.
+    """
+    z = ref.ravel()[0] * 0
+    return jnp.zeros(shape, dtype) + z.astype(dtype)
+
+
 def zero_cotangent(x):
     """Zero cotangent matching JAX's expectations (float0 for int/bool)."""
     if x is None:
@@ -84,6 +97,12 @@ class _RenderCfg:
     use_scaffold: bool
     scaffold_size: Optional[tuple]
     num_rays_noise: int  # R used in the noise counter scheme
+    # Matmul input dtype for the Pallas kernels: "float32" or "bfloat16"
+    # (f32 accumulation).  NOTE: measured on v5e/Mosaic (2026-08), the
+    # bf16 input cast is folded away — outputs are bit-identical to f32
+    # and no faster; kept for future toolchains where the cast lowers to
+    # MXU-native bf16 passes.  The scan path ignores this.
+    compute_dtype: str = "float32"
 
     @property
     def tot_num_samples(self):
@@ -269,9 +288,9 @@ def _render_fwd_impl(cfg: _RenderCfg, geom, diff):
         ), None
 
     init = (
-        jnp.zeros((R,), dtype),
-        jnp.zeros((R,), dtype),
-        jnp.zeros((R, C), dtype),
+        zeros_with_vma((R,), dtype, near),
+        zeros_with_vma((R,), dtype, near),
+        zeros_with_vma((R, C), dtype, near),
     )
     (nlt, depth_acc, feat_acc), _ = jax.lax.scan(
         body, init, jnp.arange(cfg.tot_num_samples)
@@ -335,11 +354,15 @@ def _render_bwd(cfg: _RenderCfg, res, g_out):
 
     init = (
         nlt_final,
-        jnp.zeros((R,), nlt_final.dtype),
-        jnp.zeros_like(grid_flat),
-        None if color_grid_flat is None else jnp.zeros_like(color_grid_flat),
-        jnp.zeros_like(mlp_params),
-        jnp.zeros_like(rays_encoding),
+        zeros_with_vma((R,), nlt_final.dtype, nlt_final),
+        zeros_with_vma(grid_flat.shape, grid_flat.dtype, nlt_final),
+        None if color_grid_flat is None else zeros_with_vma(
+            color_grid_flat.shape, color_grid_flat.dtype, nlt_final
+        ),
+        zeros_with_vma(mlp_params.shape, mlp_params.dtype, nlt_final),
+        zeros_with_vma(
+            rays_encoding.shape, rays_encoding.dtype, nlt_final
+        ),
     )
     steps = jnp.arange(cfg.tot_num_samples - 1, -1, -1)
     (_, _, g_grid, g_cgrid, g_mlp, g_enc), _ = jax.lax.scan(body, init, steps)
@@ -419,6 +442,7 @@ def lightplane_renderer(
     grid_sizes=None,
     color_grid_sizes=None,
     impl: str = "auto",
+    compute_dtype: str = "float32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused differentiable Emission-Absorption renderer.
 
@@ -466,6 +490,7 @@ def lightplane_renderer(
             else None
         ),
         num_rays_noise=R,
+        compute_dtype=str(compute_dtype),
     )
 
     rays_encoding = rays.encoding

@@ -45,7 +45,7 @@ from .mlp_utils import SplatterParams, _flattened_one_mlp_params_to_list
 from .naive_renderer import _contract_pi
 from .naive_splatter import WEIGHT_GRID_EPS
 from .rays import Rays
-from .renderer import _step_depth_delta, zero_cotangent
+from .renderer import _step_depth_delta, zero_cotangent, zeros_with_vma
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,8 +144,8 @@ def _splat_fwd_impl(cfg: _SplatCfg, geom, diff):
         return (feat_grid, w_grid), None
 
     init = (
-        jnp.zeros((cfg.v_total, cfg.out_chn), dtype),
-        jnp.zeros((cfg.v_total, 1), dtype),
+        zeros_with_vma((cfg.v_total, cfg.out_chn), dtype, near),
+        zeros_with_vma((cfg.v_total, 1), dtype, near),
     )
     (feat_grid, w_grid), _ = jax.lax.scan(
         body, init, jnp.arange(cfg.tot_num_samples)
@@ -193,9 +193,15 @@ def _splat_bwd(cfg: _SplatCfg, res, g_out):
         return (g_feat + d_feat, g_igrid + d_igrid, g_mlp + d_mlp), None
 
     init = (
-        jnp.zeros_like(splatting_feature),
-        None if input_grid_flat is None else jnp.zeros_like(input_grid_flat),
-        None if mlp_params is None else jnp.zeros_like(mlp_params),
+        zeros_with_vma(
+            splatting_feature.shape, splatting_feature.dtype, near
+        ),
+        None if input_grid_flat is None else zeros_with_vma(
+            input_grid_flat.shape, input_grid_flat.dtype, near
+        ),
+        None if mlp_params is None else zeros_with_vma(
+            mlp_params.shape, mlp_params.dtype, near
+        ),
     )
     (g_feat, g_igrid, g_mlp), _ = jax.lax.scan(
         body, init, jnp.arange(cfg.tot_num_samples)

@@ -98,6 +98,20 @@ def data_parallel_renderer(mesh: Mesh, axis_name: str = RAY_AXIS, **defaults):
                 directions=directions, origins=origins, grid_idx=grid_idx,
                 near=near, far=far, encoding=encoding,
             )
+            # Explicitly mark the replicated params as varying: pcast-to-varying's
+            # transpose is psum, which is exactly the cross-shard gradient
+            # all-reduce (the multi-chip analogue of the reference's
+            # atomic grid-gradient accumulation, SURVEY.md §2.5).
+            pv = lambda t: jax.tree_util.tree_map(
+                lambda x: (
+                    jax.lax.pcast(x, (axis_name,), to='varying')
+                    if x is not None else x
+                ),
+                t,
+            )
+            grid = pv(grid)
+            dp_params = pv(dp_params)
+            color_grid = pv(color_grid)
             dp = dataclasses.replace(decoder_params, mlp_params=dp_params)
             return lightplane_renderer(
                 local_rays, grid, dp, color_grid=color_grid,
@@ -144,6 +158,15 @@ def data_parallel_splatter(mesh: Mesh, axis_name: str = RAY_AXIS,
                 directions=directions, origins=origins, grid_idx=grid_idx,
                 near=near, far=far, encoding=encoding,
             )
+            pv = lambda t: jax.tree_util.tree_map(
+                lambda x: (
+                    jax.lax.pcast(x, (axis_name,), to='varying')
+                    if x is not None else x
+                ),
+                t,
+            )
+            mlp_flat = pv(mlp_flat)
+            input_grid = pv(input_grid)
             mp = (
                 dataclasses.replace(mlp_params, mlp_params=mlp_flat)
                 if use_mlp

@@ -8,3 +8,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The env vars alone are not enough when a pytest plugin imported jax before
+# this conftest ran (jax snapshots JAX_PLATFORMS into its config at import
+# time) — force the config too, before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -65,7 +65,9 @@ def test_camera_rays_geometry():
     o, d = camera_rays(c2w, 8, 8, focal=8.0, near=1.0, far=5.0)
     assert o.shape == (64, 3) and d.shape == (64, 3)
     # all origins at the eye
-    np.testing.assert_allclose(o, np.array([0, 0, 3.0]), atol=1e-6)
+    np.testing.assert_allclose(
+        o, np.broadcast_to(np.array([0, 0, 3.0]), o.shape), atol=1e-6
+    )
     # central ray points toward origin (-z in world here)
     center = d.reshape(8, 8, 3)[4, 4]
     assert center[2] < 0
