@@ -285,6 +285,237 @@ def _sample(grid_ref, infos, iotas_list, pts, gsel, mask_oob,
     return _sample_sts(sts, grid_ref, infos, pts, mask_oob, cdt)
 
 
+# ---------------------------------------------------------------------------
+# Windowed sampling: exploit march coherence
+# ---------------------------------------------------------------------------
+
+# A chunk of coherent rays (an image tile marching a few steps) usually
+# touches a narrow band of each grid's outermost varying dimension.  The
+# windowed sampler computes the band per (chunk, sub-grid) at runtime and,
+# when it fits a static window, runs the stencil build + matmul on a
+# dynamic row-slice of the grid — cutting the dominant VPU + MXU cost by
+# ~WINDOW_FRACTION.  When the band is wider (incoherent rays), it falls
+# back to the full-width stencil: always correct, fast when coherent.
+WINDOWED_SAMPLING = True
+WINDOW_FRACTION = 4
+MIN_CELLS_TO_WINDOW = 1024
+
+
+def _window_params(info: _GridInfo):
+    """(unit_cells, dim_size, window, axis) or None if not windowable."""
+    if not WINDOWED_SAMPLING or info.batch > 1:
+        return None
+    if info.cells < MIN_CELLS_TO_WINDOW:
+        return None
+    if info.D > 1:
+        unit, wsize, axis = info.H * info.W, info.D, "z"
+    elif info.H > 1:
+        unit, wsize, axis = info.W, info.H, "y"
+    else:
+        return None
+    win = max(2, wsize // WINDOW_FRACTION)
+    if win >= wsize:
+        return None
+    return unit, wsize, win, axis
+
+
+class _GridSampler:
+    """Per-(chunk, sub-grid) sampler.
+
+    Two static modes (selected at trace time):
+      * plain: full-width stencil matmul; the stencil is cached so the bw
+        kernel reuses it between the sample and the transpose splat.
+      * windowed (``w0`` given): stencil + matmul run on a dynamic
+        ``win*unit``-row slice of the grid starting at ``w0*unit`` — the
+        window start comes from the host-side :func:`_window_plan`, which
+        also guarantees (via the global fit flag) that every in-range
+        sampling corner of this chunk lies inside the window.
+    """
+
+    def __init__(self, cfg, info, iotas, pts, gsel, cdt, w0=None):
+        self.info = info
+        self.iotas = iotas
+        self.pts = pts
+        self.gsel = gsel
+        self.cdt = cdt
+        self.w0 = w0
+        self.win = _window_params(info) if w0 is not None else None
+        self._plain_st = None
+        if self.win is not None:
+            unit, wsize, win, axis = self.win
+            self._rel_iotas = _make_iotas(
+                _GridInfo(0, 1, win if axis == "z" else 1,
+                          info.H if axis == "z" else win, info.W)
+            )
+
+    def _plain_stencil(self):
+        if self._plain_st is None:
+            self._plain_st = _stencil(
+                self.info, self.iotas, self.pts, self.gsel
+            ).astype(self.cdt)
+        return self._plain_st
+
+    def _window_stencil(self):
+        bv, zv, yv, xv = self._rel_iotas
+        if self.win[3] == "z":
+            zv = zv + self.w0
+        else:
+            yv = yv + self.w0
+        st = _stencil(self.info, (bv, zv, yv, xv), self.pts, self.gsel)
+        return st.astype(self.cdt)
+
+    def _rows(self):
+        unit, wsize, win, axis = self.win
+        return pl.ds(self.info.offset + self.w0 * unit, win * unit)
+
+    def sample(self, ref):
+        info = self.info
+        if self.win is None:
+            g = ref[info.offset: info.offset + info.cells, :]
+            return jnp.dot(self._plain_stencil(), g.astype(self.cdt),
+                           preferred_element_type=jnp.float32)
+        g = ref[self._rows(), :]
+        return jnp.dot(self._window_stencil(), g.astype(self.cdt),
+                       preferred_element_type=jnp.float32)
+
+    def splat_accum(self, grad_ref, dval):
+        info = self.info
+        dval = dval.astype(self.cdt)
+        if self.win is None:
+            upd = jax.lax.dot_general(
+                self._plain_stencil(), dval, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            grad_ref[info.offset: info.offset + info.cells, :] += upd
+            return
+        upd = jax.lax.dot_general(
+            self._window_stencil(), dval, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        grad_ref[self._rows(), :] += upd
+
+
+def _make_samplers(cfg, infos, iotas_list, pts, gsel, cdt, w0s=None):
+    return [
+        _GridSampler(cfg, info, iotas, pts, gsel, cdt,
+                     None if w0s is None else w0s[i])
+        for i, (info, iotas) in enumerate(zip(infos, iotas_list))
+    ]
+
+
+def _sample_samplers(samplers, ref, pts, mask_oob):
+    out = None
+    for s in samplers:
+        smp = s.sample(ref)
+        out = smp if out is None else out + smp
+    if mask_oob:
+        out = out * _oob_mask(pts).astype(out.dtype)
+    return out
+
+
+def _splat_samplers(samplers, grad_ref, pts, mask_oob, dval):
+    if mask_oob:
+        dval = dval * _oob_mask(pts).astype(dval.dtype)
+    for s in samplers:
+        s.splat_accum(grad_ref, dval)
+
+
+def _host_chunk_endpoint_depths(cfg, near, far, K, bw):
+    """[R, n_chunks, 2] depths at each chunk's endpoint steps (host-side;
+    same schedule as the kernels, vectorized over rays and chunks)."""
+    S = cfg.tot_num_samples
+    n_chunks = (S + K - 1) // K
+    ends = []
+    for ci in range(n_chunks):
+        if bw:
+            hi = S - 1 - ci * K
+            lo = max(0, hi - (K - 1))
+        else:
+            lo = ci * K
+            hi = min(S - 1, lo + K - 1)
+        ends.append((lo, hi))
+    s = jnp.asarray(ends, jnp.float32)[None]          # [1, nc, 2]
+    nr = near[:, None, None]
+    fr = far[:, None, None]
+    ns, ni = cfg.num_samples, cfg.num_samples_inf
+
+    def lin_depth(si):
+        if ns > 1:
+            return nr + (fr - nr) * (si / (ns - 1))
+        return jnp.broadcast_to(nr, si.shape[:0] + nr.shape)
+
+    if ni > 0:
+        frac = (s - ns + 1.0) / ni
+        n_disp = cfg.disparity_at_inf * frac + (1.0 - frac)
+        t = jnp.where(s < ns, lin_depth(s), fr * (1.0 / n_disp))
+    else:
+        t = lin_depth(s)
+    return t
+
+
+def _window_plan(cfg, origins, dirs, near, far, K, bw, winfos):
+    """Host-side window starts + global fit flag.
+
+    ``winfos``: [(axis, wsize, win), ...] for each windowable grid.
+    Valid when ray coordinates are linear in the march depth (no
+    contraction): each chunk's coordinate extremes over its steps are at
+    the chunk's endpoint steps, so per-(block, chunk) min/max over rays x
+    endpoints bound every sampling corner.
+
+    Returns ``(w0 [n_blocks, n_chunks * n_wgrids] int32, fits_all bool)``.
+    """
+    R = origins.shape[0]
+    n_blocks = R // RAY_BLOCK
+    t = _host_chunk_endpoint_depths(cfg, near, far, K, bw)  # [R, nc, 2]
+    n_chunks = t.shape[1]
+    w0_cols = []
+    fits = []
+    for axis, wsize, win in winfos:
+        ax = 2 if axis == "z" else 1
+        p = origins[:, None, None, ax] + t * dirs[:, None, None, ax]
+        f = ((p + 1.0) * 0.5) * wsize - 0.5
+        f = f.reshape(n_blocks, RAY_BLOCK, n_chunks, 2)
+        fmin = jnp.min(f, axis=(1, 3))                # [n_blocks, nc]
+        fmax = jnp.max(f, axis=(1, 3))
+        lo = jnp.floor(fmin).astype(jnp.int32)
+        hi = jnp.floor(fmax).astype(jnp.int32) + 1
+        w0 = jnp.clip(lo, 0, wsize - win)
+        w0_cols.append(w0)
+        fits.append(jnp.minimum(hi, wsize - 1) - w0 < win)
+    # [n_blocks, nc, Gw] -> [n_blocks, nc * Gw] (chunk-major, grid-minor:
+    # kernel reads w0_ref[0, ci * Gw + gi])
+    w0 = jnp.stack(w0_cols, axis=-1).reshape(n_blocks, -1)
+    fits_all = jnp.all(jnp.stack(fits))
+    return w0, fits_all
+
+
+def _windowable_infos(cfg, infos, cinfos):
+    """Static description of which sub-grids get windows: list of
+    (axis, wsize, win) in main-then-color order, plus per-list index maps
+    (grid position -> windowable slot or None)."""
+    if cfg.contract_coords:
+        # coordinates are not linear in depth under contraction; the
+        # host-side endpoint bound would be invalid
+        return [], [None] * len(infos), [None] * len(cinfos)
+    winfos = []
+    def scan(lst):
+        idx = []
+        for info in lst:
+            wp = _window_params(info)
+            if wp is None:
+                idx.append(None)
+            else:
+                unit, wsize, win, axis = wp
+                idx.append(len(winfos))
+                winfos.append((axis, wsize, win))
+        return idx
+    main_idx = scan(infos)
+    color_idx = scan(cinfos)
+    return winfos, main_idx, color_idx
+
+
+
+
 def _splat_sts(sts, grad_ref, infos, pts, mask_oob, dval,
                cdt=jnp.float32):
     """grad_grid += stencil.T @ dval for each sub-grid (the deterministic
@@ -533,22 +764,25 @@ def _chunk_geom(cfg, cr: _ChunkRays, s0_of_k):
 
 def _chunk_decoder(cfg, grid_ref, cgrid_ref, infos, cinfos, iotas_list,
                    ciotas_list, pts, gsel_r, enc_r, noise_i1, seed, valid,
-                   mlps, packed_heads=None, t1_folded=False, sts=None):
+                   mlps, packed_heads=None, t1_folded=False, samplers=None,
+                   csamplers=None):
     """Batched sample + decoder fw for one chunk: [K*B, ...] rows.
 
-    ``sts``: optional prebuilt main-grid stencils (the bw kernel builds
-    them once and reuses them for the gradient splat).
-    """
+    ``samplers``/``csamplers``: prebuilt :class:`_GridSampler` lists (the
+    bw kernel shares them with the gradient splat)."""
     cdt = _cdt(cfg)
-    if sts is None:
-        sts = _stencils(infos, iotas_list, pts, gsel_r, cdt)
-    feat = _sample_sts(sts, grid_ref, infos, pts,
-                       cfg.mask_out_of_bounds_samples, cdt=cdt)
-    cfeat = (
-        _sample(cgrid_ref, cinfos, ciotas_list, pts, gsel_r,
-                cfg.mask_out_of_bounds_samples, cdt=cdt)
-        if cgrid_ref is not None else None
-    )
+    if samplers is None:
+        samplers = _make_samplers(cfg, infos, iotas_list, pts, gsel_r, cdt)
+    feat = _sample_samplers(samplers, grid_ref, pts,
+                            cfg.mask_out_of_bounds_samples)
+    if cgrid_ref is not None:
+        if csamplers is None:
+            csamplers = _make_samplers(cfg, cinfos, ciotas_list, pts,
+                                       gsel_r, cdt)
+        cfeat = _sample_samplers(csamplers, cgrid_ref, pts,
+                                 cfg.mask_out_of_bounds_samples)
+    else:
+        cfeat = None
     noise = None
     if cfg.inject_noise_sigma > 0.0:
         i2 = noise_i1 + max(cfg.num_rays_noise, MIN_BLOCK_SIZE) * (
@@ -561,15 +795,22 @@ def _chunk_decoder(cfg, grid_ref, cgrid_ref, infos, cinfos, iotas_list,
     return sigma, color, res, feat, cfeat
 
 
-def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False):
+def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
+                     wmaps=None):
     n_t, n_o, n_c = n_mlp
     C_col = cfg.n_hidden_color[-1]
     has_cgrid = cfg.color_grid_sizes is not None
+    windowed = wmaps is not None
+    if windowed:
+        main_idx, color_idx, n_wgrids = wmaps
 
     def kernel(*refs):
         (o_ref, d_ref, near_ref, far_ref, gsel_ref, enc_ref,
          seed_ref) = refs[:7]
         rest = refs[7:]
+        if windowed:
+            w0_ref = rest[0]
+            rest = rest[1:]
         grid_ref = rest[0]
         rest = rest[1:]
         if has_cgrid:
@@ -595,8 +836,12 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False):
 
         iotas_list = [_make_iotas(i) for i in infos]
         ciotas_list = [_make_iotas(i) for i in cinfos] if has_cgrid else None
-        ray_ids = (
-            pid * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+        # clamp to the last real ray: padded rays are edge-replicas of it,
+        # and their noise stream must match the replicated geometry or the
+        # bw transmittance rewind diverges from the stored nlt
+        ray_ids = jnp.minimum(
+            pid * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0),
+            cfg.num_rays_noise - 1,
         )
 
         S = cfg.tot_num_samples
@@ -609,16 +854,35 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False):
             _pack_heads(w_o, b_o, w_c, b_c) if FW_PACK_HEADS else None
         )
 
+        def w0_of(ci, idx_map):
+            if not windowed:
+                return None
+            return [
+                None if wi is None else w0_ref[pid, ci * n_wgrids + wi]
+                for wi in idx_map
+            ]
+
         def body(ci, carry):
             nlt, depth_acc, feat_acc = carry
             s0 = ci * K
             _, valid, t, delta, pts, noise_i1 = _chunk_geom(
                 cfg, cr, lambda k_col: s0 + k_col,
             )
+            samplers = _make_samplers(cfg, infos, iotas_list, pts,
+                                      cr.gsel, _cdt(cfg),
+                                      w0_of(ci, main_idx) if windowed
+                                      else None)
+            csamplers = (
+                _make_samplers(cfg, cinfos, ciotas_list, pts, cr.gsel,
+                               _cdt(cfg),
+                               w0_of(ci, color_idx) if windowed else None)
+                if has_cgrid else None
+            )
             sigma, color, _, _, _ = _chunk_decoder(
                 cfg, grid_ref, cgrid_ref, infos, cinfos, iotas_list,
                 ciotas_list, pts, cr.gsel, cr.enc, noise_i1, seed, valid,
-                mlps, packed_heads, t1_folded,
+                mlps, packed_heads, t1_folded, samplers=samplers,
+                csamplers=csamplers,
             )
             # sequential EA over the chunk (cheap [B, .] vector ops)
             for k in range(K):
@@ -682,12 +946,21 @@ def _pack_mlp_grads(cfg, grads_t, grads_o, grads_c):
     return jnp.concatenate(pieces) if pieces else jnp.zeros((0,), jnp.float32)
 
 
-def _pad_rays_to_block(arrs, R, B):
+def _pad_rays_to_block(arrs, R, B, mode="edge"):
+    """Pad ray arrays to a multiple of the ray block.
+
+    Geometry pads with ``edge`` (replicating the last ray) so a padded
+    block stays spatially coherent — the window planner's fit test then
+    reflects the real rays only.  Cotangent arrays pad with zeros (padded
+    rays must contribute nothing to gradients).
+    """
     n_pad = (-R) % B
     if n_pad == 0:
         return arrs, R
-    return [jnp.pad(a, [(0, n_pad)] + [(0, 0)] * (a.ndim - 1))
-            for a in arrs], R + n_pad
+    return [
+        jnp.pad(a, [(0, n_pad)] + [(0, 0)] * (a.ndim - 1), mode=mode)
+        for a in arrs
+    ], R + n_pad
 
 
 def _ray_inputs(cfg, geom, rays_encoding):
@@ -727,8 +1000,6 @@ def pallas_render_fwd(cfg, geom, diff):
     arrs, seed, R, R_pad = _ray_inputs(cfg, geom, rays_encoding)
     n_blocks = R_pad // RAY_BLOCK
 
-    kernel = _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded)
-
     ray_specs = [
         pl.BlockSpec((RAY_BLOCK, a.shape[1]), lambda b: (b, 0),
                      memory_space=pltpu.VMEM)
@@ -764,15 +1035,51 @@ def pallas_render_fwd(cfg, geom, diff):
                      memory_space=pltpu.VMEM),
     ]
 
-    depth, nlt, feat = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=INTERPRET,
-        compiler_params=_COMPILER_PARAMS,
-    )(*inputs)
+    # in_specs layout: arrs(6) + seed + grids + mlps; the windowed variant
+    # inserts its per-(block, chunk, grid) window starts after the seed.
+    def call_general():
+        kernel = _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=INTERPRET,
+            compiler_params=_COMPILER_PARAMS,
+        )(*inputs)
+
+    winfos, main_idx, color_idx = _windowable_infos(cfg, infos, cinfos)
+    if not winfos:
+        depth, nlt, feat = call_general()
+        return depth[:R, 0], nlt[:R, 0], feat[:R]
+
+    K = _march_chunk(cfg)
+    origins_p, dirs_p = arrs[0], arrs[1]
+    near_p, far_p = arrs[2][:, 0], arrs[3][:, 0]
+    w0, fits_all = _window_plan(
+        cfg, origins_p, dirs_p, near_p, far_p, K, False, winfos
+    )
+
+    def call_windowed():
+        kernel = _build_fw_kernel(
+            cfg, infos, cinfos, n_mlp, t1_folded,
+            wmaps=(main_idx, color_idx, len(winfos)),
+        )
+        w0_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=in_specs[:7] + [w0_spec] + in_specs[7:],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=INTERPRET,
+            compiler_params=_COMPILER_PARAMS,
+        )(*(inputs[:7] + [w0] + inputs[7:]))
+
+    depth, nlt, feat = jax.lax.cond(
+        fits_all, call_windowed, call_general
+    )
     return depth[:R, 0], nlt[:R, 0], feat[:R]
 
 
@@ -781,15 +1088,21 @@ def pallas_render_fwd(cfg, geom, diff):
 # ---------------------------------------------------------------------------
 
 
-def _build_bw_kernel(cfg, infos, cinfos, n_mlp):
+def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
     n_t, n_o, n_c = n_mlp
     C_col = cfg.n_hidden_color[-1]
     has_cgrid = cfg.color_grid_sizes is not None
+    windowed = wmaps is not None
+    if windowed:
+        main_idx, color_idx, n_wgrids = wmaps
 
     def kernel(*refs):
         (o_ref, d_ref, near_ref, far_ref, gsel_ref, enc_ref, nltf_ref,
          gdepth_ref, gnlt_ref, gfeat_ref, seed_ref) = refs[:11]
         rest = refs[11:]
+        if windowed:
+            w0_ref = rest[0]
+            rest = rest[1:]
         grid_ref = rest[0]
         rest = rest[1:]
         if has_cgrid:
@@ -837,7 +1150,10 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp):
 
         iotas_list = [_make_iotas(i) for i in infos]
         ciotas_list = [_make_iotas(i) for i in cinfos] if has_cgrid else None
-        ray_ids = pid * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+        ray_ids = jnp.minimum(
+            pid * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0),
+            cfg.num_rays_noise - 1,
+        )  # see fw kernel: padded rays replicate the last real ray
         S = cfg.tot_num_samples
 
         def make_zero_mlp_grads():
@@ -855,6 +1171,14 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp):
         )
         cdt = _cdt(cfg)
 
+        def w0_of(ci, idx_map):
+            if not windowed:
+                return None
+            return [
+                None if wi is None else w0_ref[pid, ci * n_wgrids + wi]
+                for wi in idx_map
+            ]
+
         def body(ci, carry):
             (nlt_run, suffix, genc_acc, gmlp_acc) = carry
             # chunk covers s = S-1-ci*K - k, k = 0..K-1 (descending s)
@@ -863,14 +1187,22 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp):
                 cfg, cr, lambda k_col: s_hi - k_col,
             )
             # ---- batched recompute of the forward decoder ----
-            # main-grid stencils built ONCE: reused by the sample here and
-            # by the gradient splat below (the bw kernel's biggest VPU
-            # cost is stencil construction)
-            sts = _stencils(infos, iotas_list, pts, cr.gsel, cdt)
+            # samplers built ONCE per chunk: shared by the sample here and
+            # the gradient splat below (window position + non-windowed
+            # stencils are reused)
+            samplers = _make_samplers(cfg, infos, iotas_list, pts,
+                                      cr.gsel, cdt,
+                                      w0_of(ci, main_idx) if windowed
+                                      else None)
+            csamplers = (
+                _make_samplers(cfg, cinfos, ciotas_list, pts, cr.gsel, cdt,
+                               w0_of(ci, color_idx) if windowed else None)
+                if has_cgrid else None
+            )
             sigma, color, res, feat, cfeat = _chunk_decoder(
                 cfg, grid_ref, cgrid_ref, infos, cinfos, iotas_list,
                 ciotas_list, pts, cr.gsel, cr.enc, noise_i1, seed, valid,
-                mlps, packed_heads, sts=sts,
+                mlps, packed_heads, samplers=samplers, csamplers=csamplers,
             )
             sv_t, sv_o, sv_c, sv_h, op_raw, _, _, _ = res
 
@@ -938,13 +1270,12 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp):
                 g_cfeat_s = g_ct_in * (cfeat > 0.0).astype(jnp.float32)
                 g_enc_step = g_ct_in
 
-            # ---- grid-gradient splat (shared stencils, whole chunk) ----
-            _splat_sts(sts, ggrid_ref, infos, pts,
-                       cfg.mask_out_of_bounds_samples, g_feat_s, cdt=cdt)
+            # ---- grid-gradient splat (shared samplers, whole chunk) ----
+            _splat_samplers(samplers, ggrid_ref, pts,
+                            cfg.mask_out_of_bounds_samples, g_feat_s)
             if has_cgrid:
-                _splat_accum(gcgrid_ref, cinfos, ciotas_list, pts, cr.gsel,
-                             cfg.mask_out_of_bounds_samples, g_cfeat_s,
-                             cdt=cdt)
+                _splat_samplers(csamplers, gcgrid_ref, pts,
+                                cfg.mask_out_of_bounds_samples, g_cfeat_s)
 
             # ray-encoding grad: reduce the chunk's rows per ray
             genc_acc = genc_acc + sum(
@@ -989,14 +1320,16 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
     C_col = cfg.n_hidden_color[-1]
 
     arrs, seed, R, R_pad = _ray_inputs(cfg, geom, rays_encoding)
-    extra = [
-        nlt_final[:, None], g_depth[:, None], g_nlt[:, None], g_feat,
-    ]
-    extra, _ = _pad_rays_to_block(extra, R, RAY_BLOCK)
-    arrs = arrs + extra
+    # Padded rays are edge-replicas of the last real ray (coherent blocks
+    # for the window planner), so their nlt must be the replica's real
+    # value — rewinding a zero nlt against real geometry overflows
+    # exp(-nlt_prev) at disparity-background step sizes.  Their gradient
+    # contribution is killed by zero-padded cotangents instead.
+    nltf_p, _ = _pad_rays_to_block([nlt_final[:, None]], R, RAY_BLOCK)
+    extra = [g_depth[:, None], g_nlt[:, None], g_feat]
+    extra, _ = _pad_rays_to_block(extra, R, RAY_BLOCK, mode="constant")
+    arrs = arrs + nltf_p + extra
     n_blocks = R_pad // RAY_BLOCK
-
-    kernel = _build_bw_kernel(cfg, infos, cinfos, n_mlp)
 
     ray_specs = [
         pl.BlockSpec((RAY_BLOCK, a.shape[1]), lambda b: (b, 0),
@@ -1037,15 +1370,45 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
                      memory_space=pltpu.VMEM)
     )
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=INTERPRET,
-        compiler_params=_COMPILER_PARAMS,
-    )(*inputs)
+    def call_general():
+        kernel = _build_bw_kernel(cfg, infos, cinfos, n_mlp)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=INTERPRET,
+            compiler_params=_COMPILER_PARAMS,
+        )(*inputs)
+
+    winfos, main_idx, color_idx = _windowable_infos(cfg, infos, cinfos)
+    if not winfos:
+        outs = call_general()
+    else:
+        K = _march_chunk(cfg, bw=True)
+        w0, fits_all = _window_plan(
+            cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], K, True,
+            winfos,
+        )
+
+        def call_windowed():
+            kernel = _build_bw_kernel(
+                cfg, infos, cinfos, n_mlp,
+                wmaps=(main_idx, color_idx, len(winfos)),
+            )
+            w0_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+            return pl.pallas_call(
+                kernel,
+                grid=(n_blocks,),
+                in_specs=in_specs[:11] + [w0_spec] + in_specs[11:],
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=INTERPRET,
+                compiler_params=_COMPILER_PARAMS,
+            )(*(inputs[:11] + [w0] + inputs[11:]))
+
+        outs = jax.lax.cond(fits_all, call_windowed, call_general)
 
     outs = list(outs)
     g_grid = outs.pop(0)

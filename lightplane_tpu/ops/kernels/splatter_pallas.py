@@ -140,8 +140,13 @@ def pallas_splat_fwd(cfg, geom, diff):
 
     base, valid, R = _ray_inputs_splat(cfg, geom)
     # kernel arg order: o, d, near, far, gsel, enc, valid
-    arrs = base + [splatting_feature, valid]
+    arrs = base + [splatting_feature]
     arrs, R_pad = _pad_rays_to_block(arrs, R, RAY_BLOCK)
+    # valid mask MUST zero-pad: geometry edge-pads for block coherence,
+    # and the mask is what keeps the replicated rays from splatting
+    valid_p, _ = _pad_rays_to_block([valid], R, RAY_BLOCK,
+                                    mode="constant")
+    arrs = arrs + valid_p
     n_blocks = R_pad // RAY_BLOCK
 
     kernel = _build_fw_kernel(cfg, out_infos, in_infos, n_layers)
@@ -276,8 +281,13 @@ def pallas_splat_bwd(cfg, geom, diff, g_feat_grid):
     n_layers = len(weights)
 
     base, valid, R = _ray_inputs_splat(cfg, geom)
-    arrs = base + [splatting_feature, valid]
+    arrs = base + [splatting_feature]
     arrs, R_pad = _pad_rays_to_block(arrs, R, RAY_BLOCK)
+    # valid mask MUST zero-pad: geometry edge-pads for block coherence,
+    # and the mask is what keeps the replicated rays from splatting
+    valid_p, _ = _pad_rays_to_block([valid], R, RAY_BLOCK,
+                                    mode="constant")
+    arrs = arrs + valid_p
     n_blocks = R_pad // RAY_BLOCK
 
     kernel = _build_bw_kernel(cfg, out_infos, in_infos, n_layers)

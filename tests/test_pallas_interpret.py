@@ -80,3 +80,102 @@ def test_pallas_matches_scan(case):
         compare_one(a, b, f"{case}/{nm}")
     for nm, a, b in zip(["g_grid", "g_mlp", "g_enc"], g_s, g_p):
         compare_one(a, b, f"{case}/grad_{nm}")
+
+
+def test_pallas_windowed_sampling_coherent_rays():
+    """Coherent raster-order rays engage the dynamic-window fast path of
+    the Pallas sampler (kernels/renderer_pallas.py _GridSampler); parity
+    vs the scan implementation must hold on that path too."""
+    assert rp.WINDOWED_SAMPLING
+    side = 16
+    n = side * side
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    chn = 16
+    dp = random_decoder_params(k1, input_chn=chn, hidden_chn=8)
+    # an image-tile ray bundle marching straight through a 32^2 triplane:
+    # each chunk of steps spans a narrow y/z band -> window fits
+    ys, xs = jnp.meshgrid(
+        jnp.linspace(-0.3, 0.3, side), jnp.linspace(-0.3, 0.3, side),
+        indexing="ij",
+    )
+    rays = lt.Rays(
+        directions=jnp.stack(
+            [xs.ravel(), ys.ravel(), jnp.ones(n)], axis=-1
+        ),
+        origins=jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (n, 1)),
+        grid_idx=jnp.zeros((n,), jnp.int32),
+        near=jnp.full((n,), 1.0),
+        far=jnp.full((n,), 3.0),
+        encoding=jax.random.normal(key, (n, dp.n_hidden_color[0])) * 0.1,
+    )
+    grid = random_grid(k2, 1, chn, 32, "triplane", scale=0.5)
+
+    def loss(impl, g0, mp, enc):
+        r = dataclasses.replace(rays, encoding=enc)
+        d = dataclasses.replace(dp, mlp_params=mp)
+        out = lt.lightplane_renderer(
+            r, [g0] + list(grid[1:]), d, num_samples=16, gain=1.3,
+            impl=impl,
+        )
+        return sum(jnp.sum(o * (i + 1)) for i, o in enumerate(out)), out
+
+    args = (grid[0], dp.mlp_params, rays.encoding)
+    (_, out_s), g_s = jax.value_and_grad(
+        lambda *a: loss("scan", *a), argnums=(0, 1, 2), has_aux=True
+    )(*args)
+    (_, out_p), g_p = jax.value_and_grad(
+        lambda *a: loss("pallas", *a), argnums=(0, 1, 2), has_aux=True
+    )(*args)
+    for nm, a, b in zip(["depth", "nlt", "feat"], out_s, out_p):
+        compare_one(a, b, f"win/{nm}")
+    for nm, a, b in zip(["g_grid", "g_mlp", "g_enc"], g_s, g_p):
+        compare_one(a, b, f"win/grad_{nm}")
+
+
+@pytest.mark.parametrize("use_mlp", [False, True])
+def test_pallas_splatter_matches_scan(use_mlp):
+    """Pallas splatter (fw + grads) vs the scan implementation, with a
+    non-multiple-of-RAY_BLOCK ray count so the edge-replication padding
+    path is exercised (padded rays must not splat: zero valid mask)."""
+    from lightplane_tpu import (
+        init_splatter_params, lightplane_mlp_splatter, lightplane_splatter,
+    )
+
+    n_rays = 37
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    chn = 16
+    rays = random_rays(k1, n_rays, 1, encoding_dim=chn)
+    out_size = [(1, 6, 6, 6, chn)]
+    if use_mlp:
+        sp = init_splatter_params(k2, n_layers=2, input_chn=chn,
+                                  hidden_chn=16, out_chn=chn)
+        igrid = random_grid(k3, 1, chn, 6, "voxel", scale=0.5)
+
+        def run(impl, enc, mp, ig):
+            r = dataclasses.replace(rays, encoding=enc)
+            spp = dataclasses.replace(sp, mlp_params=mp)
+            return lightplane_mlp_splatter(
+                r, out_size, spp, [ig], num_samples=7, impl=impl,
+                return_list=False)
+
+        args = (rays.encoding, sp.mlp_params, igrid[0])
+    else:
+        def run(impl, enc):
+            r = dataclasses.replace(rays, encoding=enc)
+            return lightplane_splatter(
+                r, out_size, num_samples=7, impl=impl, return_list=False)
+
+        args = (rays.encoding,)
+
+    n_args = len(args)
+    (l_s, out_s), g_s = jax.value_and_grad(
+        lambda *a: (jnp.sum(run("scan", *a) ** 2), run("scan", *a)),
+        argnums=tuple(range(n_args)), has_aux=True)(*args)
+    (l_p, out_p), g_p = jax.value_and_grad(
+        lambda *a: (jnp.sum(run("pallas", *a) ** 2), run("pallas", *a)),
+        argnums=tuple(range(n_args)), has_aux=True)(*args)
+    compare_one(out_s, out_p, f"splat{use_mlp}/grid")
+    for i, (a, b) in enumerate(zip(g_s, g_p)):
+        compare_one(a, b, f"splat{use_mlp}/grad{i}")
