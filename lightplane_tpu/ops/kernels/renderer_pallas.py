@@ -297,7 +297,7 @@ def _sample(grid_ref, infos, iotas_list, pts, gsel, mask_oob,
 # ~WINDOW_FRACTION.  When the band is wider (incoherent rays), it falls
 # back to the full-width stencil: always correct, fast when coherent.
 WINDOWED_SAMPLING = True
-WINDOW_FRACTION = 4
+WINDOW_FRACTION = 8
 MIN_CELLS_TO_WINDOW = 1024
 
 
