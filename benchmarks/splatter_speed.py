@@ -22,17 +22,31 @@ from benchmarks.renderer_speed import peak_mem_mb
 
 
 def make_rays(key, n_views, view_res, chn):
+    """N posed camera views of view_res^2 rays each — the production
+    splatting workload (lifting per-pixel image features into 3D).  The
+    reference bench uses synthetic random rays instead
+    (``tests/utils.py:230-268``); camera views are raster-coherent, which
+    the TPU boxed-DMA splatter exploits (incoherent rays fall back to the
+    XLA path)."""
+    import numpy as np
+
+    from lightplane_tpu.utils.cameras import camera_rays, sphere_cameras
+
+    cams = sphere_cameras(n_views, radius=2.5, elevation_deg=25.0)
+    all_o, all_d = [], []
+    for c2w in cams:
+        o, d = camera_rays(c2w, view_res, view_res, view_res * 1.1,
+                           0.5, 3.5)
+        all_o.append(o)
+        all_d.append(d)
     n = n_views * view_res * view_res
-    k1, k2 = jax.random.split(key)
-    origins = jax.random.normal(k1, (n, 3)) * 0.1 + jnp.array([0, 0, -2.0])
-    targets = jax.random.normal(k2, (n, 3)) * 0.3
     return lt.Rays(
-        directions=targets - origins,
-        origins=origins,
+        directions=jnp.asarray(np.concatenate(all_d)),
+        origins=jnp.asarray(np.concatenate(all_o)),
         grid_idx=jnp.zeros((n,), jnp.int32),
         near=jnp.full((n,), 0.5),
         far=jnp.full((n,), 3.5),
-        encoding=jax.random.normal(k1, (n, chn)) * 0.1,
+        encoding=jax.random.normal(key, (n, chn)) * 0.1,
     )
 
 

@@ -158,6 +158,27 @@ def _splat_fwd(cfg, geom, diff):
     return out, (geom, diff)
 
 
+def _splat_bwd_gather_scan(cfg: _SplatCfg, geom, g_feat_grid):
+    """Scan-path adjoint gather for the no-MLP splatter: march and sample
+    the incoming gradient grid (shared by the scan core's bwd and the
+    big-grid core's fallback branch)."""
+    directions, origins, near, far, grid_idx, valid_mask = geom
+
+    def body(g_feat, s):
+        pts = _march_geometry(cfg, geom, s)
+        g_vec = sample_grid_rep(
+            g_feat_grid, cfg.output_grid_sizes, pts, grid_idx,
+            cfg.mask_out_of_bounds_samples,
+        ) * valid_mask[:, None]
+        return g_feat + g_vec, None
+
+    init = zeros_with_vma(
+        (directions.shape[0], cfg.out_chn), g_feat_grid.dtype, near
+    )
+    g_feat, _ = jax.lax.scan(body, init, jnp.arange(cfg.tot_num_samples))
+    return g_feat
+
+
 def _splat_bwd(cfg: _SplatCfg, res, g_out):
     geom, diff = res
     directions, origins, near, far, grid_idx, valid_mask = geom
@@ -214,6 +235,56 @@ _splat_core.defvjp(_splat_fwd, _splat_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Big-grid core: HBM-resident boxed-DMA kernel with scan fallback
+# (see kernels/splatter_big.py)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _splat_core_big(cfg: _SplatCfg, geom, diff):
+    out, _ = _splat_big_fwd_impl(cfg, geom, diff)
+    return out
+
+
+def _splat_big_fwd_impl(cfg: _SplatCfg, geom, diff):
+    from .kernels import splatter_big as sb
+
+    arrs, _valid, _R, _R_pad = sb._ray_arrs(geom, diff[0])
+    w0, fits, K, n_chunks = sb.box_plan(
+        cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0],
+        sb.grid_infos(cfg.output_grid_sizes),
+    )
+    out = jax.lax.cond(
+        fits,
+        lambda: sb.big_splat_fwd(cfg, geom, diff, w0, K, n_chunks),
+        lambda: _splat_fwd_impl(cfg, geom, diff),
+    )
+    return out, (w0, fits, K, n_chunks)
+
+
+def _splat_big_fwd(cfg, geom, diff):
+    out, plan = _splat_big_fwd_impl(cfg, geom, diff)
+    return out, (geom, plan)
+
+
+def _splat_big_bwd(cfg: _SplatCfg, res, g_out):
+    from .kernels import splatter_big as sb
+
+    geom, (w0, fits, K, n_chunks) = res
+    g_feat_grid, _g_w_grid = g_out  # weight cotangent ignored (see above)
+    g_enc = jax.lax.cond(
+        fits,
+        lambda: sb.big_splat_bwd(cfg, geom, g_feat_grid, w0, K, n_chunks),
+        lambda: _splat_bwd_gather_scan(cfg, geom, g_feat_grid),
+    )
+    g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
+    return g_geom, (g_enc, None, None)
+
+
+_splat_core_big.defvjp(_splat_big_fwd, _splat_big_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Pallas-kernel core (see kernels/splatter_pallas.py)
 # ---------------------------------------------------------------------------
 
@@ -254,6 +325,23 @@ def _use_pallas_splat(cfg, impl: str) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     return sp.pallas_splatter_supported(cfg)
+
+
+def _use_big_splat(cfg, impl: str) -> bool:
+    from .kernels import splatter_big as sb
+
+    if impl == "big":
+        return True
+    if impl != "auto":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    from .kernels import splatter_pallas as sp
+
+    return (
+        not sp.pallas_splatter_supported(cfg)
+        and sb.big_splat_supported(cfg)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -338,9 +426,12 @@ def _run_splatter(
         input_grid_flat,
         mlp_params.mlp_params if mlp_params is not None else None,
     )
-    core = (
-        _splat_core_pallas if _use_pallas_splat(cfg, impl) else _splat_core
-    )
+    if _use_big_splat(cfg, impl):
+        core = _splat_core_big
+    elif _use_pallas_splat(cfg, impl):
+        core = _splat_core_pallas
+    else:
+        core = _splat_core
     feat_grid, w_grid = core(cfg, geom, diff)
     if raw:
         return feat_grid, w_grid

@@ -179,3 +179,48 @@ def test_pallas_splatter_matches_scan(use_mlp):
     compare_one(out_s, out_p, f"splat{use_mlp}/grid")
     for i, (a, b) in enumerate(zip(g_s, g_p)):
         compare_one(a, b, f"splat{use_mlp}/grad{i}")
+
+
+@pytest.mark.parametrize("coherent", [True, False])
+def test_big_splatter_matches_scan(coherent):
+    """Big-grid (HBM boxed-DMA) splatter vs scan: coherent camera rays
+    engage the box path; random rays fall back through the XLA cond."""
+    from lightplane_tpu import lightplane_splatter
+
+    chn = 16
+    res = 64  # >= MIN_CELLS_FOR_BIG
+    if coherent:
+        side = 24
+        n = side * side
+        ys, xs = jnp.meshgrid(
+            jnp.linspace(-0.2, 0.2, side), jnp.linspace(-0.2, 0.2, side),
+            indexing="ij",
+        )
+        rays = lt.Rays(
+            directions=jnp.stack(
+                [xs.ravel(), ys.ravel(), jnp.ones(n)], axis=-1
+            ),
+            origins=jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (n, 1)),
+            grid_idx=jnp.zeros((n,), jnp.int32),
+            near=jnp.full((n,), 1.2),
+            far=jnp.full((n,), 2.8),
+            encoding=jax.random.normal(jax.random.PRNGKey(0), (n, chn)),
+        )
+    else:
+        rays = random_rays(jax.random.PRNGKey(0), 100, 1,
+                           encoding_dim=chn)
+    out_size = [(1, res, res, res, chn)]
+
+    def run(impl, enc):
+        r = dataclasses.replace(rays, encoding=enc)
+        return lt.lightplane_splatter(
+            r, out_size, num_samples=12, impl=impl, return_list=False)
+
+    (l_s, out_s), g_s = jax.value_and_grad(
+        lambda e: (jnp.sum(run("scan", e) ** 2), run("scan", e)),
+        has_aux=True)(rays.encoding)
+    (l_p, out_p), g_p = jax.value_and_grad(
+        lambda e: (jnp.sum(run("big", e) ** 2), run("big", e)),
+        has_aux=True)(rays.encoding)
+    compare_one(out_s, out_p, f"big{coherent}/grid")
+    compare_one(g_s, g_p, f"big{coherent}/g_enc")
