@@ -63,6 +63,9 @@ RAY_BLOCK = 512
 # it uses a smaller chunk to fit the VMEM stack.
 MARCH_CHUNK = 8
 MARCH_CHUNK_BW = 4
+# the windowed bw variant keeps far smaller stencils live, so it can
+# afford a bigger chunk (separate from the general fallback's)
+MARCH_CHUNK_BW_WIN = 8
 # Head-MLP block-diagonal packing (see _pack_heads): measured SLOWER on
 # v5e than separate skinny matmuls — the per-chunk [M, Ko+Kc] concatenates
 # cost more VPU than the saved MXU passes.  Kept for experimentation.
@@ -710,10 +713,13 @@ def _decoder_fwd(cfg, feat, cfeat, enc, noise, mlps, packed_heads=None,
 # ---------------------------------------------------------------------------
 
 
-def _march_chunk(cfg, bw=False):
+def _march_chunk(cfg, bw=False, windowed=False):
     """Steps batched per loop iteration (padded loop; see kernel bodies)."""
-    return min(MARCH_CHUNK_BW if bw else MARCH_CHUNK,
-               cfg.tot_num_samples)
+    if bw:
+        k = MARCH_CHUNK_BW_WIN if windowed else MARCH_CHUNK_BW
+    else:
+        k = MARCH_CHUNK
+    return min(k, cfg.tot_num_samples)
 
 
 class _ChunkRays:
@@ -1162,7 +1168,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
                 zs.append(jnp.zeros_like(w))
             return tuple(zs)
 
-        K = _march_chunk(cfg, bw=True)
+        K = _march_chunk(cfg, bw=True, windowed=windowed)
         n_chunks = (S + K - 1) // K
         cr = _ChunkRays(cfg, K, origins, dirs, near, far, gsel, enc,
                         ray_ids)
@@ -1386,7 +1392,7 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
     if not winfos:
         outs = call_general()
     else:
-        K = _march_chunk(cfg, bw=True)
+        K = _march_chunk(cfg, bw=True, windowed=True)
         w0, fits_all = _window_plan(
             cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], K, True,
             winfos,
