@@ -38,8 +38,7 @@ reference's headline benchmark shapes.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -485,9 +484,12 @@ def _window_plan(cfg, origins, dirs, near, far, K, bw, winfos):
         w0 = jnp.clip(lo, 0, wsize - win)
         w0_cols.append(w0)
         fits.append(jnp.minimum(hi, wsize - 1) - w0 < win)
-    # [n_blocks, nc, Gw] -> [n_blocks, nc * Gw] (chunk-major, grid-minor:
-    # kernel reads w0_ref[0, ci * Gw + gi])
+    # [n_blocks, nc, Gw] -> [n_blocks, nc * Gw] (chunk-major, grid-minor;
+    # kernel reads w0_ref[pid % 8, ci * Gw + gi]).  Padded to (8, 128)
+    # SMEM tiles so each program only holds its 8-row tile — the full
+    # table overflows the 1MB SMEM at large ray counts.
     w0 = jnp.stack(w0_cols, axis=-1).reshape(n_blocks, -1)
+    w0 = jnp.pad(w0, ((0, (-n_blocks) % 8), (0, (-w0.shape[1]) % 128)))
     fits_all = jnp.all(jnp.stack(fits))
     return w0, fits_all
 
@@ -864,7 +866,8 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
             if not windowed:
                 return None
             return [
-                None if wi is None else w0_ref[pid, ci * n_wgrids + wi]
+                None if wi is None
+                else w0_ref[pid % 8, ci * n_wgrids + wi]
                 for wi in idx_map
             ]
 
@@ -940,16 +943,6 @@ def _iter_mlp_segments(cfg, mlp_params):
         n = _mlp_numel(nh)
         yield nh, mlp_params[off: off + n]
         off += n
-
-
-def _pack_mlp_grads(cfg, grads_t, grads_o, grads_c):
-    """Inverse of :func:`_mlp_arrays`: flat gradient vector."""
-    pieces = []
-    for grads in (grads_t, grads_o, grads_c):
-        ws = [g[0].reshape(-1) for g in grads]
-        bs = [g[1].reshape(-1) for g in grads]
-        pieces.extend(ws + bs)
-    return jnp.concatenate(pieces) if pieces else jnp.zeros((0,), jnp.float32)
 
 
 def _pad_rays_to_block(arrs, R, B, mode="edge"):
@@ -1072,7 +1065,10 @@ def pallas_render_fwd(cfg, geom, diff):
             cfg, infos, cinfos, n_mlp, t1_folded,
             wmaps=(main_idx, color_idx, len(winfos)),
         )
-        w0_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        w0_spec = pl.BlockSpec(
+            (8, w0.shape[1]), lambda b: (b // 8, 0),
+            memory_space=pltpu.SMEM,
+        )
         return pl.pallas_call(
             kernel,
             grid=(n_blocks,),
@@ -1181,7 +1177,8 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
             if not windowed:
                 return None
             return [
-                None if wi is None else w0_ref[pid, ci * n_wgrids + wi]
+                None if wi is None
+                else w0_ref[pid % 8, ci * n_wgrids + wi]
                 for wi in idx_map
             ]
 
@@ -1403,7 +1400,10 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
                 cfg, infos, cinfos, n_mlp,
                 wmaps=(main_idx, color_idx, len(winfos)),
             )
-            w0_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+            w0_spec = pl.BlockSpec(
+                (8, w0.shape[1]), lambda b: (b // 8, 0),
+                memory_space=pltpu.SMEM,
+            )
             return pl.pallas_call(
                 kernel,
                 grid=(n_blocks,),
