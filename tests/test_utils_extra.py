@@ -92,3 +92,16 @@ def test_synthetic_dataset():
     assert ds.gt.min() >= 0.0 and ds.gt.max() <= 1.0 + 1e-5
     o, d, img = ds.image(1)
     assert img.shape == (16, 16, 3)
+
+
+def test_profiling_helpers():
+    from lightplane_tpu.utils.profiling import Memory, Timer
+
+    x = jnp.ones((256, 256))
+    with Timer("matmul") as t:
+        y = x @ x
+        t.fence = y
+    assert t.ms is not None and t.ms >= 0.0
+    with Memory("matmul") as m:
+        z = (x @ x).block_until_ready()
+    assert z is not None  # stats may be absent on some backends
