@@ -222,7 +222,9 @@ def main(argv=None):
         depth, alpha, rgb = jax.jit(
             render_with, static_argnames=("num_samples",)
         )(params, rays, scaffold, num_samples)
-        rgb_img = np.asarray(rgb).reshape(ds.height, ds.width, 3)
+        rgb_img = np.clip(
+            np.asarray(rgb).reshape(ds.height, ds.width, 3), 0.0, 1.0
+        )
         depth_img = np.asarray(depth).reshape(ds.height, ds.width)
         psnr = float(calc_psnr(jnp.asarray(rgb_img), jnp.asarray(img_gt)))
         ssim = float(calc_ssim(jnp.asarray(rgb_img), jnp.asarray(img_gt)))

@@ -57,9 +57,14 @@ def calc_ssim(
     mu_pp = blur(pred * pred)
     mu_tt = blur(target * target)
     mu_pt = blur(pred * target)
-    var_p = mu_pp - mu_p**2
-    var_t = mu_tt - mu_t**2
+    # clamp the moment estimates: on near-constant windows (flat
+    # backgrounds) fp cancellation yields slightly negative variances,
+    # which can push the structure ratio (and SSIM) above 1
+    var_p = jnp.maximum(mu_pp - mu_p**2, 0.0)
+    var_t = jnp.maximum(mu_tt - mu_t**2, 0.0)
     cov = mu_pt - mu_p * mu_t
+    cov_bound = jnp.sqrt(var_p * var_t)
+    cov = jnp.clip(cov, -cov_bound, cov_bound)
     c1 = (k1 * max_val) ** 2
     c2 = (k2 * max_val) ** 2
     ssim_map = ((2 * mu_p * mu_t + c1) * (2 * cov + c2)) / (
