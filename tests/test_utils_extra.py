@@ -60,6 +60,17 @@ def test_psnr_ssim():
     assert float(calc_ssim(img, noisy)) < 0.99
 
 
+def test_ssim_bounded_on_flat_regions():
+    # regression: fp-negative variances on constant windows used to push
+    # SSIM above 1 (observed 1.175 in a real training eval)
+    img = jnp.ones((64, 64, 3))
+    img = img.at[20:40, 20:40].set(0.3)
+    noisy = img + 1e-4 * jax.random.normal(jax.random.PRNGKey(0), img.shape)
+    s = float(calc_ssim(noisy, img))
+    assert 0.0 <= s <= 1.0
+    assert float(calc_ssim(img, img)) == 1.0
+
+
 def test_camera_rays_geometry():
     c2w = look_at_c2w(np.array([0, 0, 3.0]), np.zeros(3))
     o, d = camera_rays(c2w, 8, 8, focal=8.0, near=1.0, far=5.0)
