@@ -73,6 +73,13 @@ def parse_args(argv=None):
     # optimization
     p.add_argument("--n_iter", type=int, default=3000)
     p.add_argument("--rays_per_batch", type=int, default=4096)
+    p.add_argument("--ray_sampling", type=str, default="span",
+                   choices=["span", "random"],
+                   help="'span' draws random 512-ray contiguous raster "
+                        "spans, each exactly one kernel ray-block, so "
+                        "batches stay spatially coherent and the TPU "
+                        "kernels keep their windowed fast path; 'random' "
+                        "draws iid pixels")
     p.add_argument("--lr_grid", type=float, default=5e-2)
     p.add_argument("--lr_mlp", type=float, default=5e-3)
     p.add_argument("--lr_decay_iters", type=int, default=3000)
@@ -178,6 +185,26 @@ def main(argv=None):
     directions = jnp.asarray(ds.directions)
     gt = jnp.asarray(ds.gt)
 
+    # span sampling: each draw is a 512-ray contiguous raster span of one
+    # image, aligned to the kernels' 512-ray blocks — every block of the
+    # batch is then a thin image band, which keeps the windowed sampling
+    # fast path engaged (random pixels force the general-kernel fallback)
+    SPAN = 512
+    img_rays = ds.height * ds.width
+    spans_per_img = img_rays // SPAN
+    n_spans = max(1, args.rays_per_batch // SPAN)
+
+    def sample_ray_idx(k_idx):
+        if args.ray_sampling == "random" or spans_per_img == 0:
+            return jax.random.randint(
+                k_idx, (args.rays_per_batch,), 0, n_rays_total
+            )
+        k_img, k_sp = jax.random.split(k_idx)
+        img = jax.random.randint(k_img, (n_spans,), 0, ds.n_images)
+        sp = jax.random.randint(k_sp, (n_spans,), 0, spans_per_img)
+        base = img * img_rays + sp * SPAN
+        return (base[:, None] + jnp.arange(SPAN)[None, :]).reshape(-1)
+
     def render_with(params, rays, scaffold, num_samples=None):
         return renderer.apply(
             {"params": params["mlp"]}, rays, params["grid"],
@@ -251,9 +278,7 @@ def main(argv=None):
     t0 = time.time()
     for step in range(args.n_iter):
         key, k_idx = jax.random.split(key)
-        idx = jax.random.randint(
-            k_idx, (args.rays_per_batch,), 0, n_rays_total
-        )
+        idx = sample_ray_idx(k_idx)
         params, opt_state, loss, mse = train_step(
             params, opt_state, idx, scaffold, num_samples
         )
