@@ -85,6 +85,7 @@ if __name__ == "__main__":
         "relu_field": dict(separate=True, trunk=0),
         "combo": dict(grid_type="voxel", res=6, batch=2, mask=True, ni=2,
                       noise=0.1),
+        "mixed": dict(grid_type="mixed"),
     }
     for name, kwargs in cases.items():
         if which not in ("all", name):

@@ -30,6 +30,9 @@ CASES = {
     "voxel_batch": dict(grid_type="voxel", batch=2),
     "masked_inf_noise": dict(mask=True, ni=2, noise=0.2),
     "relu_field": dict(separate=True, trunk=0),
+    # voxel + triplane mix in one grid-list (summed sampling) — the
+    # reference's "grid-list decomposition" headline (feature_grids.md)
+    "mixed_voxel_triplane": dict(grid_type="mixed"),
 }
 
 
