@@ -120,13 +120,65 @@ def grid_infos(grid_sizes) -> Tuple[_GridInfo, ...]:
 
 def pallas_renderer_supported(cfg) -> bool:
     """Whether the fused Pallas kernels can run this config."""
-    if cfg.use_scaffold:
-        return False
     all_sizes = list(cfg.grid_sizes) + list(cfg.color_grid_sizes or ())
     for (b, d, h, w, c) in all_sizes:
         if b * d * h * w > MAX_CELLS_PER_GRID:
             return False
     return True
+
+
+def _scaffold_gate_base(cfg, geom, R_pad):
+    """Per-(step, ray) scaffold occupancy gates, nearest-sampled OUTSIDE
+    the kernel (one XLA gather; a nearest one-hot stencil would not scale
+    in-kernel) and laid out step-major so kernels slice aligned row
+    blocks per chunk.
+
+    Returns the step-major base ``[S, R_pad]`` f32 (see
+    ``_gate_fw_layout`` / ``_gate_bw_layout``), or None without a
+    scaffold.  Memory is O(rays * samples) floats — the one deliberate
+    exception to the O(rays) rule, traded for keeping scaffolded
+    rendering on the fused kernels; the scan path remains available for
+    extreme sample counts (``impl="scan"``).
+    """
+    if not cfg.use_scaffold:
+        return None
+    from ..grid_sample import sample_grid_rep
+
+    directions, origins, near, far, grid_idx, scaffold_flat, _ = geom
+    R = directions.shape[0]
+    S = cfg.tot_num_samples
+    s = jnp.arange(S, dtype=jnp.float32)[None, :]
+    t, _ = _step_depth_delta(cfg, near[:, None], far[:, None], s)
+    pts = origins[:, None, :] + t[..., None] * directions[:, None, :]
+    if cfg.contract_coords:
+        pts = _contract_pi(pts)
+    gate = sample_grid_rep(
+        scaffold_flat, (cfg.scaffold_size + (1,),), pts, grid_idx,
+        True, mode="nearest",
+    )[..., 0]                                    # [R, S]
+    gate = jnp.pad(gate, ((0, R_pad - R), (0, (-S) % 128)), mode="edge")
+    return gate                                  # [R_pad, S_pad128]
+
+
+def _chunk_gates(gate_ref, ci, K, S, bw):
+    """The chunk's K per-step [B, 1] gate columns.
+
+    The gate block is rays-major ``[B, S_pad]``; a dynamic lane slice
+    would violate the 128-lane tiling, so the K columns are selected with
+    a tiny one-hot matmul (``[B, S_pad] @ [S_pad, K]``) instead.  Out-of-
+    range steps (padded chunks) select nothing -> gate 0, consistent with
+    the kernels' valid-masking.
+    """
+    if gate_ref is None:
+        return None
+    gb = gate_ref[:]
+    S_pad = gb.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (S_pad, K), 0)
+    ks = jax.lax.broadcasted_iota(jnp.int32, (S_pad, K), 1)
+    s_of_k = (S - 1 - ci * K - ks) if bw else (ci * K + ks)
+    sel = (rows == s_of_k).astype(jnp.float32)
+    cols = jnp.dot(gb, sel, preferred_element_type=jnp.float32)  # [B, K]
+    return [cols[:, k: k + 1] for k in range(K)]
 
 
 # ---------------------------------------------------------------------------
@@ -819,6 +871,11 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
         if windowed:
             w0_ref = rest[0]
             rest = rest[1:]
+        if cfg.use_scaffold:
+            gate_ref = rest[0]
+            rest = rest[1:]
+        else:
+            gate_ref = None
         grid_ref = rest[0]
         rest = rest[1:]
         if has_cgrid:
@@ -893,13 +950,18 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
                 mlps, packed_heads, t1_folded, samplers=samplers,
                 csamplers=csamplers,
             )
-            # sequential EA over the chunk (cheap [B, .] vector ops)
+            gates = _chunk_gates(gate_ref, ci, K, S, bw=False)
+            # sequential EA over the chunk (cheap [B, .] vector ops);
+            # scaffold gates zero empty-space contributions (reference
+            # renderer_fw.py:234-252 semantics, applied numerically)
             for k in range(K):
                 r = slice(k * B, (k + 1) * B)
-                nlt_new = nlt + sigma[r] * delta[r]
+                sig_k = sigma[r] if gates is None else sigma[r] * gates[k]
+                col_k = color[r] if gates is None else color[r] * gates[k]
+                nlt_new = nlt + sig_k * delta[r]
                 w = jnp.exp(-nlt) - jnp.exp(-nlt_new)
                 depth_acc = depth_acc + w * t[r]
-                feat_acc = feat_acc + w * color[r]
+                feat_acc = feat_acc + w * col_k
                 nlt = nlt_new
             return (nlt, depth_acc, feat_acc)
 
@@ -999,6 +1061,16 @@ def pallas_render_fwd(cfg, geom, diff):
     arrs, seed, R, R_pad = _ray_inputs(cfg, geom, rays_encoding)
     n_blocks = R_pad // RAY_BLOCK
 
+    gate_base = _scaffold_gate_base(cfg, geom, R_pad)
+    gates = []
+    gate_specs = []
+    if gate_base is not None:
+        gates = [gate_base]
+        gate_specs = [pl.BlockSpec(
+            (RAY_BLOCK, gate_base.shape[1]), lambda b: (b, 0),
+            memory_space=pltpu.VMEM,
+        )]
+
     ray_specs = [
         pl.BlockSpec((RAY_BLOCK, a.shape[1]), lambda b: (b, 0),
                      memory_space=pltpu.VMEM)
@@ -1011,12 +1083,13 @@ def pallas_render_fwd(cfg, geom, diff):
     in_specs = (
         ray_specs
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + gate_specs
         + [full(grid_flat.shape)]
         + ([full(color_grid_flat.shape)]
            if color_grid_flat is not None else [])
         + [full(t.shape) for t in mlp_tensors]
     )
-    inputs = arrs + [seed, grid_flat] + (
+    inputs = arrs + [seed] + gates + [grid_flat] + (
         [color_grid_flat] if color_grid_flat is not None else []
     ) + mlp_tensors
 
@@ -1105,6 +1178,11 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
         if windowed:
             w0_ref = rest[0]
             rest = rest[1:]
+        if cfg.use_scaffold:
+            gate_ref = rest[0]
+            rest = rest[1:]
+        else:
+            gate_ref = None
         grid_ref = rest[0]
         rest = rest[1:]
         if has_cgrid:
@@ -1207,25 +1285,37 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
                 ciotas_list, pts, cr.gsel, cr.enc, noise_i1, seed, valid,
                 mlps, packed_heads, samplers=samplers, csamplers=csamplers,
             )
+            gates = _chunk_gates(gate_ref, ci, K, S, bw=True)
             sv_t, sv_o, sv_c, sv_h, op_raw, _, _, _ = res
 
             # ---- sequential EA adjoint with transmittance rewind ----
+            # the EA consumed GATED sigma/color; the per-k gate folds into
+            # the stored cotangents so the decoder chain below stays
+            # gate-free (the gate is constant w.r.t. all params)
             g_sigma_ks, g_color_ks = [], []
             for k in range(K):
                 r = slice(k * B, (k + 1) * B)
-                s_s = sigma[r] * delta[r]
+                if gates is None:
+                    sig_k, col_k, gk = sigma[r], color[r], None
+                else:
+                    gk = gates[k]
+                    sig_k, col_k = sigma[r] * gk, color[r] * gk
+                s_s = sig_k * delta[r]
                 nlt_prev = nlt_run - s_s
                 T = jnp.exp(-nlt_run)
                 T_prev = jnp.exp(-nlt_prev)
                 w = T_prev - T
                 g_w = g_depth * t[r] + jnp.sum(
-                    g_feat * color[r], axis=1, keepdims=True
+                    g_feat * col_k, axis=1, keepdims=True
                 )
                 g_s = g_w * T - suffix + g_nlt
-                g_sigma_ks.append(
-                    g_s * delta[r] * valid[r].astype(jnp.float32)
-                )
-                g_color_ks.append(w * g_feat)
+                g_sig = g_s * delta[r] * valid[r].astype(jnp.float32)
+                g_col = w * g_feat
+                if gk is not None:
+                    g_sig = g_sig * gk
+                    g_col = g_col * gk
+                g_sigma_ks.append(g_sig)
+                g_color_ks.append(g_col)
                 suffix = suffix + g_w * w
                 nlt_run = nlt_prev
             g_sigma = (
@@ -1334,6 +1424,18 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
     arrs = arrs + nltf_p + extra
     n_blocks = R_pad // RAY_BLOCK
 
+    gate_base = _scaffold_gate_base(cfg, geom, R_pad)
+
+    def gate_io(K):
+        del K  # one rays-major layout serves both chunkings
+        if gate_base is None:
+            return [], []
+        spec = pl.BlockSpec(
+            (RAY_BLOCK, gate_base.shape[1]), lambda b: (b, 0),
+            memory_space=pltpu.VMEM,
+        )
+        return [gate_base], [spec]
+
     ray_specs = [
         pl.BlockSpec((RAY_BLOCK, a.shape[1]), lambda b: (b, 0),
                      memory_space=pltpu.VMEM)
@@ -1375,15 +1477,16 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
 
     def call_general():
         kernel = _build_bw_kernel(cfg, infos, cinfos, n_mlp)
+        g_in, g_specs = gate_io(_march_chunk(cfg, bw=True))
         return pl.pallas_call(
             kernel,
             grid=(n_blocks,),
-            in_specs=in_specs,
+            in_specs=in_specs[:11] + g_specs + in_specs[11:],
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=INTERPRET,
             compiler_params=_COMPILER_PARAMS,
-        )(*inputs)
+        )(*(inputs[:11] + g_in + inputs[11:]))
 
     winfos, main_idx, color_idx = _windowable_infos(cfg, infos, cinfos)
     if not winfos:
@@ -1404,15 +1507,19 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
                 (8, w0.shape[1]), lambda b: (b // 8, 0),
                 memory_space=pltpu.SMEM,
             )
+            g_in, g_specs = gate_io(
+                _march_chunk(cfg, bw=True, windowed=True)
+            )
             return pl.pallas_call(
                 kernel,
                 grid=(n_blocks,),
-                in_specs=in_specs[:11] + [w0_spec] + in_specs[11:],
+                in_specs=in_specs[:11] + [w0_spec] + g_specs
+                + in_specs[11:],
                 out_specs=out_specs,
                 out_shape=out_shape,
                 interpret=INTERPRET,
                 compiler_params=_COMPILER_PARAMS,
-            )(*(inputs[:11] + [w0] + inputs[11:]))
+            )(*(inputs[:11] + [w0] + g_in + inputs[11:]))
 
         outs = jax.lax.cond(fits_all, call_windowed, call_general)
 

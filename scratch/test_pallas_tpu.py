@@ -10,7 +10,7 @@ from utils import random_rays, random_grid, random_decoder_params
 
 def run_case(name, grid_type="triplane", n_rays=600, batch=1, res=8, chn=16,
              separate=False, noise=0.0, mask=False, contract=False, ni=0,
-             trunk=2):
+             trunk=2, use_scaffold=False):
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     dp = random_decoder_params(
@@ -20,11 +20,16 @@ def run_case(name, grid_type="triplane", n_rays=600, batch=1, res=8, chn=16,
     grid = random_grid(k2, batch, chn, res, grid_type, scale=0.5)
     cgrid = (random_grid(k4, batch, chn, res, grid_type, scale=0.5)
              if separate else None)
+    scaffold = (
+        (jax.random.uniform(k4, (batch, 12, 12, 12)) > 0.4).astype(
+            jnp.float32)
+        if use_scaffold else None
+    )
     kw = dict(num_samples=8, gain=1.3, num_samples_inf=ni,
               mask_out_of_bounds_samples=mask, contract_coords=contract,
               inject_noise_sigma=noise,
               inject_noise_seed=3 if noise > 0 else None,
-              disparity_at_inf=1e-3, color_grid=cgrid)
+              disparity_at_inf=1e-3, color_grid=cgrid, scaffold=scaffold)
 
     def loss(fn_impl, g, mp, enc):
         r = dataclasses.replace(rays, encoding=enc)
@@ -86,6 +91,7 @@ if __name__ == "__main__":
         "combo": dict(grid_type="voxel", res=6, batch=2, mask=True, ni=2,
                       noise=0.1),
         "mixed": dict(grid_type="mixed"),
+        "scaffold": dict(use_scaffold=True),
     }
     for name, kwargs in cases.items():
         if which not in ("all", name):

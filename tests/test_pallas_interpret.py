@@ -227,3 +227,38 @@ def test_big_splatter_matches_scan(coherent):
         has_aux=True)(rays.encoding)
     compare_one(out_s, out_p, f"big{coherent}/grid")
     compare_one(g_s, g_p, f"big{coherent}/g_enc")
+
+
+def test_pallas_scaffold_matches_scan():
+    """Scaffolded rendering through the Pallas kernels (per-(ray, step)
+    occupancy gates precomputed outside; fw + grads vs scan)."""
+    n_rays = 40
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dp = random_decoder_params(k3, input_chn=8, hidden_chn=8)
+    rays = random_rays(k1, n_rays, 1, encoding_dim=dp.n_hidden_color[0])
+    grid = random_grid(k2, 1, 8, 5, "triplane", scale=0.5)
+    # a random binary occupancy scaffold
+    scaffold = (
+        jax.random.uniform(k4, (1, 6, 6, 6)) > 0.4
+    ).astype(jnp.float32)
+
+    def loss(impl, g0, mp):
+        d = dataclasses.replace(dp, mlp_params=mp)
+        out = lt.lightplane_renderer(
+            rays, [g0] + list(grid[1:]), d, num_samples=9, gain=1.3,
+            scaffold=scaffold, impl=impl,
+        )
+        return sum(jnp.sum(o * (i + 1)) for i, o in enumerate(out)), out
+
+    args = (grid[0], dp.mlp_params)
+    (_, out_s), g_s = jax.value_and_grad(
+        lambda *a: loss("scan", *a), argnums=(0, 1), has_aux=True)(*args)
+    (_, out_p), g_p = jax.value_and_grad(
+        lambda *a: loss("pallas", *a), argnums=(0, 1), has_aux=True)(*args)
+    for nm, a, b in zip(["depth", "nlt", "feat"], out_s, out_p):
+        compare_one(a, b, f"scaffold/{nm}")
+    for nm, a, b in zip(["g_grid", "g_mlp"], g_s, g_p):
+        compare_one(a, b, f"scaffold/grad_{nm}")
+    # the scaffold must actually gate something (not vacuous)
+    assert float(jnp.mean(scaffold)) < 1.0
