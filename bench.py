@@ -83,17 +83,28 @@ def main():
 
     fwdbwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
 
-    args = (grid, dp.mlp_params, rays.encoding)
-    # warmup / compile
-    jax.block_until_ready(fwdbwd(*args))
-    jax.block_until_ready(fwdbwd(*args))
+    # On some backends (axon tunnel) ``block_until_ready`` does not wait
+    # for device completion; the only reliable sync is a D2H transfer.
+    # Chain iterations through a data dependency (grads fed back into the
+    # grid at eps scale) and do ONE D2H at the end; subtract the 1-iter
+    # run (which carries the same fixed D2H/dispatch cost).
+    import numpy as np
 
-    n_iter = 5
+    def chain(n):
+        g = grid
+        for _ in range(n):
+            gg, gm, ge = fwdbwd(g, dp.mlp_params, rays.encoding)
+            g = [a + b * 1e-30 for a, b in zip(g, gg)]
+        return np.asarray(gm[:1])
+
+    chain(1)  # compile + warmup
+    n_iter = 10
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fwdbwd(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iter
+    chain(1)
+    t1 = time.perf_counter()
+    chain(n_iter + 1)
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / n_iter
 
     rays_per_sec = n_rays / dt
 
