@@ -386,15 +386,16 @@ class _GridSampler:
         sampling corner of this chunk lies inside the window.
     """
 
-    def __init__(self, cfg, info, iotas, pts, gsel, cdt, w0=None):
+    def __init__(self, cfg, info, iotas, pts_ks, gsel, cdt, w0=None):
         self.info = info
         self.iotas = iotas
-        self.pts = pts
-        self.gsel = gsel
+        self.pts_ks = pts_ks   # per-k [B, 3] march points (k-major order)
+        self.gsel = gsel       # [B, 1]
         self.cdt = cdt
         self.w0 = w0
         self.win = _window_params(info) if w0 is not None else None
         self._plain_st = None
+        self._window_st = None
         if self.win is not None:
             unit, wsize, win, axis = self.win
             self._rel_iotas = _make_iotas(
@@ -402,21 +403,30 @@ class _GridSampler:
                           info.H if axis == "z" else win, info.W)
             )
 
+    def _cat_k(self, sts):
+        st = sts[0] if len(sts) == 1 else jnp.concatenate(sts, axis=0)
+        return st.astype(self.cdt)
+
     def _plain_stencil(self):
         if self._plain_st is None:
-            self._plain_st = _stencil(
-                self.info, self.iotas, self.pts, self.gsel
-            ).astype(self.cdt)
+            self._plain_st = self._cat_k([
+                _stencil(self.info, self.iotas, p, self.gsel)
+                for p in self.pts_ks
+            ])
         return self._plain_st
 
     def _window_stencil(self):
-        bv, zv, yv, xv = self._rel_iotas
-        if self.win[3] == "z":
-            zv = zv + self.w0
-        else:
-            yv = yv + self.w0
-        st = _stencil(self.info, (bv, zv, yv, xv), self.pts, self.gsel)
-        return st.astype(self.cdt)
+        if self._window_st is None:
+            bv, zv, yv, xv = self._rel_iotas
+            if self.win[3] == "z":
+                zv = zv + self.w0
+            else:
+                yv = yv + self.w0
+            self._window_st = self._cat_k([
+                _stencil(self.info, (bv, zv, yv, xv), p, self.gsel)
+                for p in self.pts_ks
+            ])
+        return self._window_st
 
     def _rows(self):
         unit, wsize, win, axis = self.win
@@ -449,27 +459,28 @@ class _GridSampler:
         grad_ref[self._rows(), :] += upd
 
 
-def _make_samplers(cfg, infos, iotas_list, pts, gsel, cdt, w0s=None):
+def _make_samplers(cfg, infos, iotas_list, pts_ks, gsel, cdt, w0s=None):
     return [
-        _GridSampler(cfg, info, iotas, pts, gsel, cdt,
+        _GridSampler(cfg, info, iotas, pts_ks, gsel, cdt,
                      None if w0s is None else w0s[i])
         for i, (info, iotas) in enumerate(zip(infos, iotas_list))
     ]
 
 
-def _sample_samplers(samplers, ref, pts, mask_oob):
+def _sample_samplers(samplers, ref, mask_m):
+    """``mask_m``: [M, 1] OOB mask (or None) built once per chunk."""
     out = None
     for s in samplers:
         smp = s.sample(ref)
         out = smp if out is None else out + smp
-    if mask_oob:
-        out = out * _oob_mask(pts).astype(out.dtype)
+    if mask_m is not None:
+        out = out * mask_m
     return out
 
 
-def _splat_samplers(samplers, grad_ref, pts, mask_oob, dval):
-    if mask_oob:
-        dval = dval * _oob_mask(pts).astype(dval.dtype)
+def _splat_samplers(samplers, grad_ref, mask_m, dval):
+    if mask_m is not None:
+        dval = dval * mask_m
     for s in samplers:
         s.splat_accum(grad_ref, dval)
 
@@ -777,70 +788,135 @@ def _march_chunk(cfg, bw=False, windowed=False):
 
 
 class _ChunkRays:
-    """Loop-invariant K-tiled ray state, built ONCE before the march loop
-    (tiles and iota divisions must not sit inside the fori_loop body)."""
+    """Loop-invariant per-block ray state, built ONCE before the march
+    loop.  The whole depth schedule is precomputed here as [B, S_pad]
+    tables (one vectorized pass instead of a per-chunk [K*B, 1] op
+    chain); ``dv_all`` folds the step validity mask into delta so the EA
+    loops need no separate valid column."""
 
     def __init__(self, cfg, K, origins, dirs, near, far, gsel, enc, ray_ids):
         B = near.shape[0]
         tile = lambda a: jnp.concatenate([a] * K, axis=0) if K > 1 else a
         self.K, self.B = K, B
-        self.k_col = jax.lax.broadcasted_iota(
-            jnp.int32, (K * B, 1), 0
-        ) // B
-        self.origins = tile(origins)
-        self.dirs = tile(dirs)
-        self.near = tile(near)
-        self.far = tile(far)
-        self.gsel = tile(gsel)
+        self.origins_b = origins
+        self.dirs_b = dirs
+        self.gsel = gsel
         self.enc = tile(enc)
-        self.ray_ids = (
-            tile(ray_ids) if cfg.inject_noise_sigma > 0.0 else None
+        self.ray_ids = ray_ids
+
+        S = cfg.tot_num_samples
+        S_pad = -(-S // 128) * 128
+        self.S_pad = S_pad
+        s = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (1, S_pad), 1), (B, S_pad)
         )
+        in_range = (s < S).astype(jnp.float32)
+        s_c = jnp.minimum(s, S - 1)
+        t, delta = _step_depth_delta(cfg, near, far, s_c)
+        self.t_all = t                      # [B, S_pad]
+        self.dv_all = delta * in_range      # [B, S_pad]
 
 
-def _chunk_geom(cfg, cr: _ChunkRays, s0_of_k):
-    """Chunk prologue: depth/delta/points/noise indices for K consecutive
-    march steps stacked k-major into ``[K*B, ...]`` rows.
+def _chunk_sel(cr, ci, bw):
+    """[S_pad, K] one-hot selecting the chunk's K step columns (fw:
+    ascending from ci*K; bw: descending from S-1-ci*K as clamped by the
+    caller's s_hi).  Out-of-range steps select nothing -> t = dv = 0,
+    so padded chunk rows contribute exactly zero everywhere."""
+    S_pad, K = cr.S_pad, cr.K
+    rows = jax.lax.broadcasted_iota(jnp.int32, (S_pad, K), 0)
+    ks = jax.lax.broadcasted_iota(jnp.int32, (S_pad, K), 1)
+    s_of_k = ci * K + ks if not bw else ci - ks  # bw: ci carries s_hi
+    return (rows == s_of_k).astype(jnp.float32)
 
-    ``s0_of_k(k_col)`` maps the within-chunk row's k to the step index s
-    (ascending for fw, descending for bw).  Steps outside [0, S) are
-    clamped for the math and flagged invalid (their sigma is zeroed).
+
+def _chunk_geom(cfg, cr: _ChunkRays, ci, bw=False):
+    """Chunk prologue: per-k depth/delta columns and march points.
+
+    Returns ``(t_cols, dv_cols, pts_ks, mask_m, noise_i1)`` where
+    ``t_cols``/``dv_cols`` are K offset-0 [B, 1] columns (extracted via a
+    one-hot matmul + masked lane-reduce — lane slices of [B, K] arrays
+    keep offset layouts that crash Mosaic downstream), ``pts_ks`` are K
+    [B, 3] point blocks (k-major), ``mask_m`` is the [K*B, 1] OOB mask
+    (None unless masking is on) and ``noise_i1`` the [K*B, 1] noise
+    index rows (None unless noise is on).
     """
     S = cfg.tot_num_samples
-    s = s0_of_k(cr.k_col)
-    valid = jnp.logical_and(s >= 0, s < S)
-    s_c = jnp.clip(s, 0, S - 1)
+    sel = _chunk_sel(cr, ci, bw)
+    # Near-exact column extraction: the default TPU matmul rounds inputs
+    # to bf16, which corrupts large depth values (disparity-background
+    # t ~ 1/d is O(1e3+); bf16 rel error 4e-3 blows parity tolerances),
+    # and Precision.HIGHEST lowers to a slow Mosaic fallback (~8 ms on
+    # the headline bench).  Manual bf16x2: contract the value and its
+    # bf16 remainder separately at default precision — the one-hot side
+    # is exact, so the total error is O(eps_bf16^2) ~ 1.6e-5 relative.
+    def exact_cols(v):
+        hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = v - hi
+        return (
+            jnp.dot(hi, sel, preferred_element_type=jnp.float32)
+            + jnp.dot(lo, sel, preferred_element_type=jnp.float32)
+        )
 
-    t, delta = _step_depth_delta(cfg, cr.near, cr.far, s_c)
-    pts = cr.origins + t * cr.dirs
+    t_bk = exact_cols(cr.t_all)
+    dv_bk = exact_cols(cr.dv_all)
+    t_cols = _bk_cols(t_bk)
+    dv_cols = _bk_cols(dv_bk)
+
+    pts_ks = [cr.origins_b + tk * cr.dirs_b for tk in t_cols]
     if cfg.contract_coords:
-        pts = _contract_pi(pts)
+        pts_ks = [_contract_pi(p) for p in pts_ks]
+
+    mask_m = None
+    if cfg.mask_out_of_bounds_samples:
+        masks = [_oob_mask(p).astype(jnp.float32) for p in pts_ks]
+        mask_m = (
+            masks[0] if len(masks) == 1
+            else jnp.concatenate(masks, axis=0)
+        )
 
     noise_i1 = None
     if cfg.inject_noise_sigma > 0.0:
-        noise_i1 = S * cr.ray_ids + s_c + 1
-    return s_c, valid, t, delta, pts, noise_i1
+        k_lane = jax.lax.broadcasted_iota(jnp.int32, (1, cr.K), 1)
+        s_k = ci * cr.K + k_lane if not bw else ci - k_lane
+        s_bk = jnp.broadcast_to(
+            jnp.clip(s_k, 0, S - 1), (cr.B, cr.K)
+        ).astype(jnp.int32)
+        noise_i1 = _bk_to_m1(S * cr.ray_ids + s_bk + 1)
+    return t_cols, dv_cols, pts_ks, mask_m, noise_i1
 
 
-def _chunk_decoder(cfg, grid_ref, cgrid_ref, infos, cinfos, iotas_list,
-                   ciotas_list, pts, gsel_r, enc_r, noise_i1, seed, valid,
-                   mlps, packed_heads=None, t1_folded=False, samplers=None,
-                   csamplers=None):
+def _bk_cols(a_bk):
+    """[B, K] -> list of K offset-0 [B, 1] columns via masked lane-
+    reduce (lane slices keep offset layouts Mosaic can't concat or mix
+    with sublane slices)."""
+    K = a_bk.shape[1]
+    if K == 1:
+        return [a_bk]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    return [
+        jnp.sum(jnp.where(lane == k, a_bk, 0), axis=1, keepdims=True)
+        for k in range(K)
+    ]
+
+
+def _bk_to_m1(a_bk):
+    """[B, K] lane layout -> k-major [K*B, 1] rows."""
+    cols = _bk_cols(a_bk)
+    return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=0)
+
+
+def _chunk_decoder(cfg, grid_ref, cgrid_ref, samplers, csamplers, mask_m,
+                   enc_r, noise_i1, seed, mlps, packed_heads=None,
+                   t1_folded=False):
     """Batched sample + decoder fw for one chunk: [K*B, ...] rows.
 
     ``samplers``/``csamplers``: prebuilt :class:`_GridSampler` lists (the
-    bw kernel shares them with the gradient splat)."""
-    cdt = _cdt(cfg)
-    if samplers is None:
-        samplers = _make_samplers(cfg, infos, iotas_list, pts, gsel_r, cdt)
-    feat = _sample_samplers(samplers, grid_ref, pts,
-                            cfg.mask_out_of_bounds_samples)
+    bw kernel shares them with the gradient splat).  Step validity is
+    folded into the delta table (see ``_ChunkRays``), so sigma needs no
+    separate zeroing here."""
+    feat = _sample_samplers(samplers, grid_ref, mask_m)
     if cgrid_ref is not None:
-        if csamplers is None:
-            csamplers = _make_samplers(cfg, cinfos, ciotas_list, pts,
-                                       gsel_r, cdt)
-        cfeat = _sample_samplers(csamplers, cgrid_ref, pts,
-                                 cfg.mask_out_of_bounds_samples)
+        cfeat = _sample_samplers(csamplers, cgrid_ref, mask_m)
     else:
         cfeat = None
     noise = None
@@ -851,7 +927,6 @@ def _chunk_decoder(cfg, grid_ref, cgrid_ref, infos, cinfos, iotas_list,
         noise = _int_to_randn(noise_i1, i2, seed) * cfg.inject_noise_sigma
     sigma, color, res = _decoder_fwd(cfg, feat, cfeat, enc_r, noise, mlps,
                                      packed_heads, t1_folded)
-    sigma = sigma * valid.astype(sigma.dtype)
     return sigma, color, res, feat, cfeat
 
 
@@ -930,37 +1005,35 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
 
         def body(ci, carry):
             nlt, depth_acc, feat_acc = carry
-            s0 = ci * K
-            _, valid, t, delta, pts, noise_i1 = _chunk_geom(
-                cfg, cr, lambda k_col: s0 + k_col,
+            t_cols, dv_cols, pts_ks, mask_m, noise_i1 = _chunk_geom(
+                cfg, cr, ci,
             )
-            samplers = _make_samplers(cfg, infos, iotas_list, pts,
+            samplers = _make_samplers(cfg, infos, iotas_list, pts_ks,
                                       cr.gsel, _cdt(cfg),
                                       w0_of(ci, main_idx) if windowed
                                       else None)
             csamplers = (
-                _make_samplers(cfg, cinfos, ciotas_list, pts, cr.gsel,
+                _make_samplers(cfg, cinfos, ciotas_list, pts_ks, cr.gsel,
                                _cdt(cfg),
                                w0_of(ci, color_idx) if windowed else None)
                 if has_cgrid else None
             )
             sigma, color, _, _, _ = _chunk_decoder(
-                cfg, grid_ref, cgrid_ref, infos, cinfos, iotas_list,
-                ciotas_list, pts, cr.gsel, cr.enc, noise_i1, seed, valid,
-                mlps, packed_heads, t1_folded, samplers=samplers,
-                csamplers=csamplers,
+                cfg, grid_ref, cgrid_ref, samplers, csamplers, mask_m,
+                cr.enc, noise_i1, seed, mlps, packed_heads, t1_folded,
             )
             gates = _chunk_gates(gate_ref, ci, K, S, bw=False)
             # sequential EA over the chunk (cheap [B, .] vector ops);
             # scaffold gates zero empty-space contributions (reference
-            # renderer_fw.py:234-252 semantics, applied numerically)
+            # renderer_fw.py:234-252 semantics, applied numerically);
+            # dv folds the step-validity mask (padded steps contribute 0)
             for k in range(K):
                 r = slice(k * B, (k + 1) * B)
                 sig_k = sigma[r] if gates is None else sigma[r] * gates[k]
                 col_k = color[r] if gates is None else color[r] * gates[k]
-                nlt_new = nlt + sig_k * delta[r]
+                nlt_new = nlt + sig_k * dv_cols[k]
                 w = jnp.exp(-nlt) - jnp.exp(-nlt_new)
-                depth_acc = depth_acc + w * t[r]
+                depth_acc = depth_acc + w * t_cols[k]
                 feat_acc = feat_acc + w * col_k
                 nlt = nlt_new
             return (nlt, depth_acc, feat_acc)
@@ -1036,6 +1109,27 @@ def _ray_inputs(cfg, geom, rays_encoding):
     return arrs, seed, R, R_pad
 
 
+def _cast_compute_inputs(cfg, grid_flat, color_grid_flat, weights):
+    """Cast the hot matmul operands to the compute dtype OUTSIDE the
+    kernel when ``compute_dtype="bfloat16"``.
+
+    In-kernel ``.astype(bfloat16)`` casts of f32 inputs are legally
+    promoted back to f32 under ``--xla_allow_excess_precision`` (more
+    precision is always allowed), which silently erases the bf16 MXU
+    speedup (~1.8x measured on [4096,128]@[128,32]).  Genuinely-bf16
+    input arrays cannot be promoted.  Biases stay f32: they are added to
+    the f32 accumulator after the matmul.
+    """
+    cdt = _cdt(cfg)
+    if cdt == jnp.float32:
+        return grid_flat, color_grid_flat, weights
+    grid_flat = grid_flat.astype(cdt)
+    if color_grid_flat is not None:
+        color_grid_flat = color_grid_flat.astype(cdt)
+    weights = [w.astype(cdt) for w in weights]
+    return grid_flat, color_grid_flat, weights
+
+
 def pallas_render_fwd(cfg, geom, diff):
     grid_flat, color_grid_flat, mlp_params, rays_encoding = diff
     infos = grid_infos(cfg.grid_sizes)
@@ -1057,6 +1151,13 @@ def pallas_render_fwd(cfg, geom, diff):
         grid_flat = jnp.dot(
             grid_flat, w_t[0], preferred_element_type=jnp.float32
         )
+
+    all_w = [*w_t, *w_o, *w_c]
+    grid_flat, color_grid_flat, all_w = _cast_compute_inputs(
+        cfg, grid_flat, color_grid_flat, all_w)
+    w_t = all_w[:len(w_t)]
+    w_o = all_w[len(w_t): len(w_t) + len(w_o)]
+    w_c = all_w[len(w_t) + len(w_o):]
 
     arrs, seed, R, R_pad = _ray_inputs(cfg, geom, rays_encoding)
     n_blocks = R_pad // RAY_BLOCK
@@ -1236,12 +1337,6 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
         )  # see fw kernel: padded rays replicate the last real ray
         S = cfg.tot_num_samples
 
-        def make_zero_mlp_grads():
-            zs = []
-            for w in (*w_t, *b_t, *w_o, *b_o, *w_c, *b_c):
-                zs.append(jnp.zeros_like(w))
-            return tuple(zs)
-
         K = _march_chunk(cfg, bw=True, windowed=windowed)
         n_chunks = (S + K - 1) // K
         cr = _ChunkRays(cfg, K, origins, dirs, near, far, gsel, enc,
@@ -1261,29 +1356,28 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
             ]
 
         def body(ci, carry):
-            (nlt_run, suffix, genc_acc, gmlp_acc) = carry
+            (nlt_run, suffix, genc_acc) = carry
             # chunk covers s = S-1-ci*K - k, k = 0..K-1 (descending s)
             s_hi = S - 1 - ci * K
-            _, valid, t, delta, pts, noise_i1 = _chunk_geom(
-                cfg, cr, lambda k_col: s_hi - k_col,
+            t_cols, dv_cols, pts_ks, mask_m, noise_i1 = _chunk_geom(
+                cfg, cr, s_hi, bw=True,
             )
             # ---- batched recompute of the forward decoder ----
             # samplers built ONCE per chunk: shared by the sample here and
-            # the gradient splat below (window position + non-windowed
-            # stencils are reused)
-            samplers = _make_samplers(cfg, infos, iotas_list, pts,
+            # the gradient splat below (window position + stencils reused)
+            samplers = _make_samplers(cfg, infos, iotas_list, pts_ks,
                                       cr.gsel, cdt,
                                       w0_of(ci, main_idx) if windowed
                                       else None)
             csamplers = (
-                _make_samplers(cfg, cinfos, ciotas_list, pts, cr.gsel, cdt,
+                _make_samplers(cfg, cinfos, ciotas_list, pts_ks, cr.gsel,
+                               cdt,
                                w0_of(ci, color_idx) if windowed else None)
                 if has_cgrid else None
             )
             sigma, color, res, feat, cfeat = _chunk_decoder(
-                cfg, grid_ref, cgrid_ref, infos, cinfos, iotas_list,
-                ciotas_list, pts, cr.gsel, cr.enc, noise_i1, seed, valid,
-                mlps, packed_heads, samplers=samplers, csamplers=csamplers,
+                cfg, grid_ref, cgrid_ref, samplers, csamplers, mask_m,
+                cr.enc, noise_i1, seed, mlps, packed_heads,
             )
             gates = _chunk_gates(gate_ref, ci, K, S, bw=True)
             sv_t, sv_o, sv_c, sv_h, op_raw, _, _, _ = res
@@ -1300,16 +1394,16 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
                 else:
                     gk = gates[k]
                     sig_k, col_k = sigma[r] * gk, color[r] * gk
-                s_s = sig_k * delta[r]
+                s_s = sig_k * dv_cols[k]
                 nlt_prev = nlt_run - s_s
                 T = jnp.exp(-nlt_run)
                 T_prev = jnp.exp(-nlt_prev)
                 w = T_prev - T
-                g_w = g_depth * t[r] + jnp.sum(
+                g_w = g_depth * t_cols[k] + jnp.sum(
                     g_feat * col_k, axis=1, keepdims=True
                 )
                 g_s = g_w * T - suffix + g_nlt
-                g_sig = g_s * delta[r] * valid[r].astype(jnp.float32)
+                g_sig = g_s * dv_cols[k]
                 g_col = w * g_feat
                 if gk is not None:
                     g_sig = g_sig * gk
@@ -1364,37 +1458,36 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
                 g_enc_step = g_ct_in
 
             # ---- grid-gradient splat (shared samplers, whole chunk) ----
-            _splat_samplers(samplers, ggrid_ref, pts,
-                            cfg.mask_out_of_bounds_samples, g_feat_s)
+            _splat_samplers(samplers, ggrid_ref, mask_m, g_feat_s)
             if has_cgrid:
-                _splat_samplers(csamplers, gcgrid_ref, pts,
-                                cfg.mask_out_of_bounds_samples, g_cfeat_s)
+                _splat_samplers(csamplers, gcgrid_ref, mask_m, g_cfeat_s)
 
             # ray-encoding grad: reduce the chunk's rows per ray
             genc_acc = genc_acc + sum(
                 g_enc_step[k * B: (k + 1) * B] for k in range(K)
             )
 
-            # order must match (*w_t, *b_t, *w_o, *b_o, *w_c, *b_c)
+            # order must match (*w_t, *b_t, *w_o, *b_o, *w_c, *b_c);
+            # accumulate straight into the (sequentially-revisited) output
+            # refs — carrying 12 accumulator arrays through the fori_loop
+            # forces Mosaic to shuffle the whole tuple every iteration
             flat_grads = (
                 [g[0] for g in grads_t] + [g[1] for g in grads_t]
                 + [g[0] for g in grads_o] + [g[1] for g in grads_o]
                 + [g[0] for g in grads_c] + [g[1] for g in grads_c]
             )
-            gmlp_new = tuple(a + g for a, g in zip(gmlp_acc, flat_grads))
+            for ref, g in zip(gmlp_refs, flat_grads):
+                ref[...] += g.reshape(ref.shape)
 
-            return (nlt_run, suffix, genc_acc, gmlp_new)
+            return (nlt_run, suffix, genc_acc)
 
         init = (
             nltf_ref[:],
             jnp.zeros((B, 1), jnp.float32),
             jnp.zeros_like(enc),
-            make_zero_mlp_grads(),
         )
-        nlt_end, _, genc, gmlp = jax.lax.fori_loop(0, n_chunks, body, init)
+        nlt_end, _, genc = jax.lax.fori_loop(0, n_chunks, body, init)
         genc_ref[:] = genc
-        for r, g in zip(gmlp_refs, gmlp):
-            r[...] += g.reshape(r.shape)
 
     return kernel
 
@@ -1411,6 +1504,14 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
     (w_t, b_t), (w_o, b_o), (w_c, b_c) = _mlp_arrays(cfg, mlp_params)
     n_mlp = (len(w_t), len(w_o), len(w_c))
     C_col = cfg.n_hidden_color[-1]
+
+    all_w = [*w_t, *w_o, *w_c]
+    grid_flat_c, color_grid_flat_c, all_w = _cast_compute_inputs(
+        cfg, grid_flat, color_grid_flat, all_w)
+    w_t = all_w[:len(w_t)]
+    w_o = all_w[len(w_t): len(w_t) + len(w_o)]
+    w_c = all_w[len(w_t) + len(w_o):]
+    grid_flat, color_grid_flat = grid_flat_c, color_grid_flat_c
 
     arrs, seed, R, R_pad = _ray_inputs(cfg, geom, rays_encoding)
     # Padded rays are edge-replicas of the last real ray (coherent blocks

@@ -98,10 +98,14 @@ class _RenderCfg:
     scaffold_size: Optional[tuple]
     num_rays_noise: int  # R used in the noise counter scheme
     # Matmul input dtype for the Pallas kernels: "float32" or "bfloat16"
-    # (f32 accumulation).  NOTE: measured on v5e/Mosaic (2026-08), the
-    # bf16 input cast is folded away — outputs are bit-identical to f32
-    # and no faster; kept for future toolchains where the cast lowers to
-    # MXU-native bf16 passes.  The scan path ignores this.
+    # (f32 accumulation).  bfloat16 casts the grid-list and MLP weight
+    # tensors to bf16 OUTSIDE the kernel (in-kernel casts of f32 data are
+    # legally re-promoted to f32 under XLA's allow_excess_precision and
+    # gain nothing).  Measured on v5e (2026-08): isolated bf16x bf16
+    # stencil matmuls run ~1.8x faster than f32, but end-to-end the
+    # renderer is bound by the serialized VPU phases between matmuls, so
+    # the net effect is ~neutral; outputs differ from f32 at bf16
+    # precision (~3 significant digits).  The scan path ignores this.
     compute_dtype: str = "float32"
 
     @property
