@@ -74,6 +74,10 @@ BW_PACK_HEADS = False
 # Run kernels in the Pallas interpreter (for CPU testing of kernel logic).
 INTERPRET = False
 
+# Perf-ablation switches (scratch/ablate.py only; empty in production).
+# Members: nosample, nomlp, noea (fw); nosplat, nomlpbwd, noeaadj (bw).
+ABLATE = frozenset()
+
 # The march loop's stencils + MLP activations are scoped (stack) VMEM; the
 # Mosaic default scoped limit (16 MiB) is too small for 512-ray blocks over
 # benchmark-size triplanes.  v5e/v5p have 128 MiB VMEM per core; leave
@@ -458,6 +462,26 @@ class _GridSampler:
         )
         grad_ref[self._rows(), :] += upd
 
+    def splat_accum_pieces(self, grad_ref, pieces, Mq):
+        """Packed-path splat: ``pieces`` are P row blocks [Mq, C] of the
+        cotangent (block q = stencil rows [q*Mq, (q+1)*Mq)); same result
+        as :meth:`splat_accum` on the stacked [M, C]."""
+        info = self.info
+        st = (self._plain_stencil() if self.win is None
+              else self._window_stencil())
+        upd = None
+        for q, dq in enumerate(pieces):
+            t = jax.lax.dot_general(
+                st[q * Mq: (q + 1) * Mq], dq.astype(self.cdt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            upd = t if upd is None else upd + t
+        if self.win is None:
+            grad_ref[info.offset: info.offset + info.cells, :] += upd
+        else:
+            grad_ref[self._rows(), :] += upd
+
 
 def _make_samplers(cfg, infos, iotas_list, pts_ks, gsel, cdt, w0s=None):
     return [
@@ -469,6 +493,9 @@ def _make_samplers(cfg, infos, iotas_list, pts_ks, gsel, cdt, w0s=None):
 
 def _sample_samplers(samplers, ref, mask_m):
     """``mask_m``: [M, 1] OOB mask (or None) built once per chunk."""
+    if "nosample" in ABLATE:
+        M = samplers[0].pts_ks[0].shape[0] * len(samplers[0].pts_ks)
+        return jnp.full((M, ref.shape[1]), 0.1, jnp.float32)
     out = None
     for s in samplers:
         smp = s.sample(ref)
@@ -479,10 +506,22 @@ def _sample_samplers(samplers, ref, mask_m):
 
 
 def _splat_samplers(samplers, grad_ref, mask_m, dval):
+    if "nosplat" in ABLATE:
+        return
     if mask_m is not None:
         dval = dval * mask_m
     for s in samplers:
         s.splat_accum(grad_ref, dval)
+
+
+def _splat_samplers_pieces(pc, samplers, grad_ref, mask_m, pieces):
+    """Packed-path variant of :func:`_splat_samplers` on P row blocks."""
+    if "nosplat" in ABLATE:
+        return
+    if mask_m is not None:
+        pieces = [g * m for g, m in zip(pieces, pc.pieces(mask_m))]
+    for s in samplers:
+        s.splat_accum_pieces(grad_ref, pieces, pc.Mq)
 
 
 def _host_chunk_endpoint_depths(cfg, near, far, K, bw):
@@ -720,6 +759,297 @@ def _d_softplus(x):
     return jax.nn.sigmoid(x)
 
 
+# ---------------------------------------------------------------------------
+# Sample-packing: run the tiny MLPs on 128 MXU lanes
+# ---------------------------------------------------------------------------
+
+# The decoder MLPs are ~32 wide, so an unpacked [M, 32] @ [32, 32] matmul
+# streams M rows through the MXU using a quarter (or less) of its 128
+# lanes.  The packed path runs P = 128 // width samples side by side:
+# activations live as [Mq, P*w] with sample-block q in lanes [q*w, (q+1)*w)
+# and Mq = M/P rows, and every interior layer is one [Mq, P*w] @ [P*w, P*w]
+# block-diagonal matmul — P times fewer rows streamed, and ~20x faster than
+# the chained narrow matmuls measured in isolation (latency-bound).
+#
+# Crucially the pack/unpack transitions are free of relayout shuffles
+# (Mosaic cannot lower [M, w] -> [Mq, P*w] reshapes):
+#   * pack-in happens AT the first matmul: pre = sum_q x[q*Mq:(q+1)*Mq] @
+#     (W placed at columns q*N) — P matmuls of Mq rows, the same total rows
+#     as the unpacked layer;
+#   * unpack-out happens AT the last backward matmul: the gradient w.r.t.
+#     the unpacked input is produced directly as P sublane-aligned pieces
+#     g_q = g[:, q*N:(q+1)*N] @ W^T that downstream consumers (the grid
+#     splat, relu masks) use piecewise.
+# Sampling, the splat, the OOB mask and the per-step EA state never change
+# layout.  Weight-gradient accumulation happens into per-layer VMEM scratch
+# (packed [P*K, P*N] block-diagonal sums) flushed into the output refs once
+# per program.
+PACK_SAMPLES = True
+
+
+def _mlp_dims(cfg):
+    dims = list(cfg.n_hidden_trunk) + list(cfg.n_hidden_opacity) + list(
+        cfg.n_hidden_color
+    )
+    for sizes in (cfg.grid_sizes, cfg.color_grid_sizes or ()):
+        for (b, d, h, w, c) in sizes:
+            dims.append(c)
+    return dims
+
+
+def _pack_factor(cfg, K):
+    """Samples packed per 128-lane row (1 = unpacked path)."""
+    if not PACK_SAMPLES:
+        return 1
+    if len(cfg.n_hidden_opacity) < 2 or len(cfg.n_hidden_color) < 2:
+        return 1  # headless configs stay on the unpacked path
+    m = max(_mlp_dims(cfg))
+    P = 128 // m
+    P = 1 << (P.bit_length() - 1) if P >= 1 else 1
+    P = min(P, 4)
+    while P > 1 and K % P:
+        P //= 2
+    return max(P, 1)
+
+
+def _iota_mat(shape, fn):
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return fn(rows, cols).astype(jnp.float32)
+
+
+class _PackCtx:
+    """Trace-time packing context built once per kernel invocation.
+
+    Owns the selection constants and the packed/placed weight tensors.
+    All matrices are built from iotas + tiny prologue matmuls (cost is a
+    few microseconds per program, amortized over the march loop).
+    """
+
+    def __init__(self, P, M):
+        self.P = P
+        self.Mq = M // P
+        self._cache = {}
+
+    def _mat(self, key, shape, fn):
+        if key not in self._cache:
+            self._cache[key] = _iota_mat(shape, fn)
+        return self._cache[key]
+
+    def place(self, w, q):
+        """E_q [w, P*w]: identity placed at columns q*w."""
+        return self._mat(("E", w, q), (w, self.P * w),
+                         lambda r, c: c == r + q * w)
+
+    def unplace(self, w, q):
+        """E_q^T [P*w, w] (built directly; no transposes in-kernel)."""
+        return self._mat(("ET", w, q), (self.P * w, w),
+                         lambda r, c: r == c + q * w)
+
+    def tile(self, w):
+        """T [w, P*w] = [I I ... I] (broadcast a [*, w] into all blocks)."""
+        return self._mat(("T", w), (w, self.P * w),
+                         lambda r, c: c % w == r)
+
+    def reduce(self, w):
+        """R [P*w, w] = T^T (sum the P blocks of a packed [*, P*w])."""
+        return self._mat(("R", w), (self.P * w, w),
+                         lambda r, c: r % w == c)
+
+    def sel_col0(self, n):
+        """S [P*n, P]: lane q*n -> column q (extract block-column 0)."""
+        return self._mat(("S", n), (self.P * n, self.P),
+                         lambda r, c: r == c * n)
+
+    def sel_col0_t(self, n):
+        """S^T [P, P*n]: column q -> lane q*n (place block-column 0)."""
+        return self._mat(("ST", n), (self.P, self.P * n),
+                         lambda r, c: c == r * n)
+
+    def block_row(self, q, w):
+        """[1, P*w] mask: ones on block q's lanes."""
+        return self._mat(("B", w, q), (1, self.P * w),
+                         lambda r, c: (c >= q * w) & (c < (q + 1) * w))
+
+    def block_sum(self, w):
+        """[P*w, P]: sums block q's lanes into column q."""
+        return self._mat(("BS", w), (self.P * w, self.P),
+                         lambda r, c: r // w == c)
+
+    def warm(self, layer_shapes, Nc, No, He):
+        """Materialize every selection constant at the top-level kernel
+        trace.  A matrix first built inside a ``fori_loop`` body becomes a
+        body-trace constant; reusing it from the cache after the loop (the
+        scratch flush) would leak it across trace scopes, which surfaces
+        as a pallas 'captures constants' error."""
+        for (K, N, packed) in layer_shapes:
+            if packed:
+                for q in range(self.P):
+                    self.place(K, q)
+                    self.unplace(N, q)
+            self.reduce(N)
+        for w in (Nc, He, 1):
+            self.reduce(w)
+            for q in range(self.P):
+                self.block_row(q, w)
+        self.block_sum(Nc)
+        self.sel_col0(No)
+        self.sel_col0_t(No)
+
+    # -- weight packing (prologue; tiny matmuls) --
+
+    def prep_layers(self, ws, bs, first_unpacked):
+        """Per-layer packed params: (w, wblk, wplaced, bpack) tuples.
+        ``wblk`` is the [P*K, P*N] block-diagonal form (None for the
+        transition layer), ``wplaced`` the P column-placed [K, P*N]
+        variants (transition layer only)."""
+        out = []
+        for l, (w, b) in enumerate(zip(ws, bs)):
+            K, N = w.shape
+            bpack = jnp.dot(b, self.tile(N),
+                            preferred_element_type=jnp.float32)
+            if l == 0 and first_unpacked:
+                wplaced = [
+                    jnp.dot(w, self.place(N, q),
+                            preferred_element_type=jnp.float32)
+                    for q in range(self.P)
+                ]
+                out.append((w, None, wplaced, bpack))
+            else:
+                wblk = None
+                for q in range(self.P):
+                    t = jnp.dot(
+                        self.unplace(K, q),
+                        jnp.dot(w, self.place(N, q),
+                                preferred_element_type=jnp.float32),
+                        preferred_element_type=jnp.float32,
+                    )
+                    wblk = t if wblk is None else wblk + t
+                out.append((w, wblk, None, bpack))
+        return out
+
+    def pieces(self, x):
+        """[M, w] -> P sublane-aligned row blocks [Mq, w] (free slices)."""
+        return [x[q * self.Mq: (q + 1) * self.Mq] for q in range(self.P)]
+
+    def lane_blocks(self, xp, w):
+        """packed [Mq, P*w] -> P lane blocks [Mq, w] (offset lane slices)."""
+        return [xp[:, q * w: (q + 1) * w] for q in range(self.P)]
+
+    def expand_cols(self, cols_q, w):
+        """P column vectors [Mq, 1] -> [Mq, P*w] with column q broadcast
+        over block q's lanes (broadcast-mask sums; no concats)."""
+        out = None
+        for q, cq in enumerate(cols_q):
+            t = cq * self.block_row(q, w)
+            out = t if out is None else out + t
+        return out
+
+
+def _run_mlp_packed(pc, x, packed_in, layers, final_relu=False):
+    """Packed forward through ``layers`` (from :meth:`prep_layers`).
+
+    ``x``: [M, K0] when ``packed_in`` is False (transition at layer 0),
+    else packed [Mq, P*K0].  Returns (out_pack, saved); ``saved`` entries
+    are (x, pre_pack, was_packed)."""
+    saved = []
+    n = len(layers)
+    for l, (w, wblk, wplaced, bpack) in enumerate(layers):
+        if packed_in:
+            pre = jnp.dot(x, wblk,
+                          preferred_element_type=jnp.float32) + bpack
+        else:
+            pre = None
+            for q, xq in enumerate(pc.pieces(x)):
+                t = jnp.dot(xq, wplaced[q],
+                            preferred_element_type=jnp.float32)
+                pre = t if pre is None else pre + t
+            pre = pre + bpack
+        saved.append((x, pre, packed_in))
+        x = pre
+        packed_in = True
+        if l < n - 1 or final_relu:
+            x = jnp.maximum(x, 0.0)
+    return x, saved
+
+
+def _run_mlp_bwd_packed(pc, g, saved, layers, scr, final_relu=False):
+    """Backward of :func:`_run_mlp_packed`.
+
+    ``g``: packed [Mq, P*Nlast] cotangent.  ``scr``: per-layer (w_ref,
+    b_ref) scratch accumulators — packed [P*K, P*N] for interior layers,
+    unpacked [K, N] for a transition layer.  Returns the input cotangent:
+    packed array, or a list of P pieces [Mq, K0] for a transition input."""
+    n = len(layers)
+    for l in range(n - 1, -1, -1):
+        w, wblk, wplaced, bpack = layers[l]
+        x, pre, was_packed = saved[l]
+        if l < n - 1 or final_relu:
+            g = g * (pre > 0.0).astype(g.dtype)
+        w_ref, b_ref = scr[l]
+        if was_packed:
+            w_ref[...] += jax.lax.dot_general(
+                x, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            b_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+            g = jax.lax.dot_general(
+                g, wblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            K, N = w.shape
+            x_pieces = pc.pieces(x)
+            g_blocks = pc.lane_blocks(g, N)
+            dw = None
+            db = None
+            g_out = []
+            for q in range(pc.P):
+                t = jax.lax.dot_general(
+                    x_pieces[q], g_blocks[q], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dw = t if dw is None else dw + t
+                tb = jnp.sum(g_blocks[q], axis=0, keepdims=True)
+                db = tb if db is None else db + tb
+                g_out.append(jax.lax.dot_general(
+                    g_blocks[q], w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+            w_ref[...] += dw
+            b_ref[...] += db
+            g = g_out
+    return g
+
+
+def _flush_packed_scratch(pc, scr_flat, layer_shapes, w_refs, b_refs):
+    """Extract the diagonal blocks of the packed scratch accumulators and
+    add them into the (cross-program revisited) gradient output refs.
+    Runs once per program, after the march loop.  ``w_refs``/``b_refs``
+    align 1:1 with ``layer_shapes`` (all MLPs flattened in order)."""
+    for l, (K, N, packed) in enumerate(layer_shapes):
+        w_scr, b_scr = scr_flat[l]
+        if not packed:
+            w_refs[l][...] += w_scr[...]
+            b_refs[l][...] += b_scr[...]
+            continue
+        blk = w_scr[...]
+        dw = None
+        for q in range(pc.P):
+            # rows q*K (place(K, q) [K, P*K]) then cols q*N (unplace(N, q))
+            t = jnp.dot(
+                jnp.dot(pc.place(K, q), blk,
+                        preferred_element_type=jnp.float32),
+                pc.unplace(N, q),
+                preferred_element_type=jnp.float32,
+            )
+            dw = t if dw is None else dw + t
+        w_refs[l][...] += dw
+        b_refs[l][...] += jnp.dot(
+            b_scr[...], pc.reduce(N), preferred_element_type=jnp.float32,
+        )
+
+
 def _decoder_fwd(cfg, feat, cfeat, enc, noise, mlps, packed_heads=None,
                  t1_folded=False):
     """Shared fw decoder math; returns (sigma, color, residuals).
@@ -734,6 +1064,13 @@ def _decoder_fwd(cfg, feat, cfeat, enc, noise, mlps, packed_heads=None,
     """
     cdt = _cdt(cfg)
     (w_t, b_t, w_o, b_o, w_c, b_c) = mlps
+    if "nomlp" in ABLATE:
+        M = feat.shape[0]
+        C_col = w_c[-1].shape[1] if w_c else feat.shape[1]
+        sigma = jnp.sum(feat, axis=1, keepdims=True) * 0.01
+        color = jnp.broadcast_to(sigma * 0.1, (M, C_col))
+        return sigma, color, (None, None, None, None, sigma, color,
+                              feat, cfeat)
     if cfg.color_grid_sizes is None:
         if t1_folded:
             pre0 = feat + b_t[0]
@@ -771,6 +1108,163 @@ def _decoder_fwd(cfg, feat, cfeat, enc, noise, mlps, packed_heads=None,
     return sigma, color, (
         sv_t, sv_o, sv_c, sv_h, op_raw, color, feat, cfeat
     )
+
+
+def _build_enc_pack(pc, encM):
+    """Pack the chunk-tiled ray encoding [M, He] -> [Mq, P*He] via placed
+    identity matmuls (loop-invariant; built once per program)."""
+    He = encM.shape[1]
+    out = None
+    for q, xq in enumerate(pc.pieces(encM)):
+        t = jnp.dot(xq, pc.place(He, q), preferred_element_type=jnp.float32)
+        out = t if out is None else out + t
+    return out
+
+
+def _noise_cols(cfg, cr, pc, ci, bw, pid, seed):
+    """Chunk noise in packed column layout [Mq, P] (same counter scheme as
+    the row layout built by ``_chunk_geom``)."""
+    if cfg.inject_noise_sigma <= 0.0:
+        return None
+    S = cfg.tot_num_samples
+    Kp = cr.K // pc.P
+    m = jax.lax.broadcasted_iota(jnp.int32, (pc.Mq, pc.P), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (pc.Mq, pc.P), 1)
+    k = q * Kp + m // cr.B
+    s = (ci * cr.K + k) if not bw else (ci - k)  # bw: ci carries s_hi
+    s = jnp.clip(s, 0, S - 1)
+    ray = jnp.minimum(pid * cr.B + m % cr.B, cfg.num_rays_noise - 1)
+    i1 = S * ray + s + 1
+    i2 = i1 + max(cfg.num_rays_noise, MIN_BLOCK_SIZE) * S
+    return _int_to_randn(i1, i2, seed) * cfg.inject_noise_sigma
+
+
+def _prep_decoder_packed(cfg, pc, mlps, t1_folded):
+    """Prologue: packed/placed layer params for the three MLPs.
+
+    Transition (unpacked-input) layers: the trunk's first layer — or, when
+    the trunk is absent/folded-and-single, the heads' first layers."""
+    (w_t, b_t, w_o, b_o, w_c, b_c) = mlps
+    has_cgrid = cfg.color_grid_sizes is not None
+    if t1_folded:
+        # fw only: layer 1 folded into sampling; the packed trunk chain
+        # starts at layer 2 with an unpacked [M, H] relu(pre1) input
+        lt_ = pc.prep_layers(w_t[1:], b_t[1:], first_unpacked=True)
+        trunk_packed_out = len(w_t) > 1
+    elif not has_cgrid and len(w_t) > 0:
+        lt_ = pc.prep_layers(w_t, b_t, first_unpacked=True)
+        trunk_packed_out = True
+    else:
+        lt_ = []
+        trunk_packed_out = False
+    heads_unpacked = not trunk_packed_out
+    lo_ = pc.prep_layers(w_o, b_o, first_unpacked=heads_unpacked)
+    lc_ = pc.prep_layers(w_c, b_c, first_unpacked=heads_unpacked)
+    return lt_, lo_, lc_, trunk_packed_out
+
+
+def _decoder_fwd_packed(cfg, pc, feat, cfeat, enc, enc_pack, noise_cols,
+                        layers, mlps, t1_folded=False):
+    """Packed decoder forward.  ``feat``/``cfeat``: unpacked [M, C].
+    Returns (sigma_cols [Mq, P], color_pack [Mq, P*Nc], residuals)."""
+    lt_, lo_, lc_, trunk_packed = layers
+    (w_t, b_t, w_o, b_o, w_c, b_c) = mlps
+    No = w_o[-1].shape[1]
+    sv_t = []
+    if cfg.color_grid_sizes is None:
+        if t1_folded:
+            pre0 = feat + b_t[0]
+            x = jnp.maximum(pre0, 0.0)           # [M, H] unpacked
+            if lt_:
+                trunk, sv_t = _run_mlp_packed(pc, x, False, lt_,
+                                              final_relu=True)
+            else:
+                trunk = x
+        elif lt_:
+            trunk, sv_t = _run_mlp_packed(pc, feat, False, lt_,
+                                          final_relu=True)
+        else:
+            trunk = jnp.maximum(feat, 0.0)       # 0-layer trunk (unpacked)
+        if trunk_packed:
+            x_o, x_c = trunk, trunk + enc_pack
+        else:
+            x_o, x_c = trunk, trunk + enc
+    else:
+        x_o = jnp.maximum(feat, 0.0)
+        x_c = jnp.maximum(cfeat, 0.0) + enc
+    op_pre, sv_o = _run_mlp_packed(pc, x_o, trunk_packed, lo_)
+    col_pre, sv_c = _run_mlp_packed(pc, x_c, trunk_packed, lc_)
+    op_cols = jnp.dot(op_pre, pc.sel_col0(No),
+                      preferred_element_type=jnp.float32)   # [Mq, P]
+    if noise_cols is not None:
+        op_cols = op_cols + noise_cols
+    sigma_cols = cfg.gain * jax.nn.softplus(op_cols)
+    color_pack = jnp.asarray(jax.nn.sigmoid(col_pre))
+    return sigma_cols, color_pack, (
+        sv_t, sv_o, sv_c, op_cols, color_pack, feat, cfeat
+    )
+
+
+def _chunk_decoder_packed(cfg, pc, grid_ref, cgrid_ref, samplers,
+                          csamplers, mask_m, cr, layers, mlps, ci, bw,
+                          pid, seed, t1_folded=False):
+    """Sample (unpacked) + packed decoder fw for one chunk."""
+    feat = _sample_samplers(samplers, grid_ref, mask_m)
+    cfeat = (
+        _sample_samplers(csamplers, cgrid_ref, mask_m)
+        if cgrid_ref is not None else None
+    )
+    noise_cols = _noise_cols(cfg, cr, pc, ci, bw, pid, seed)
+    enc_pack = cr.enc_pack if layers[3] else None
+    sigma_cols, color_pack, res = _decoder_fwd_packed(
+        cfg, pc, feat, cfeat, cr.enc, enc_pack, noise_cols, layers, mlps,
+        t1_folded,
+    )
+    return sigma_cols, color_pack, res, feat, cfeat
+
+
+def _packed_ea_color(pc, w_ks, color_pack, Nc, B, Kp):
+    """feat_acc contribution of a chunk: sum_k w_k * color_k, computed in
+    the packed layout.  ``w_ks``: K per-step [B, 1] EA weights (gated)."""
+    w_exp = pc.expand_cols(_stack_k_cols(pc, w_ks, Kp), Nc)  # [Mq, P*Nc]
+    red = jnp.dot(w_exp * color_pack, pc.reduce(Nc),
+                  preferred_element_type=jnp.float32)   # [Mq, Nc]
+    out = None
+    for j in range(Kp):
+        t = red[j * B: (j + 1) * B]
+        out = t if out is None else out + t
+    return out
+
+
+def _stack_k_cols(pc, ks, Kp):
+    """K per-step [B, 1] columns -> P per-block [Mq, 1] columns (block q
+    holds its Kp steps stacked row-major, matching the packed layout)."""
+    return [
+        jnp.concatenate(ks[q * Kp: (q + 1) * Kp], axis=0)
+        if Kp > 1 else ks[q]
+        for q in range(pc.P)
+    ]
+
+
+def _packed_layer_shapes(cfg, n_mlp):
+    """Static (K, N, packed) per layer, flattened trunk->op->col, matching
+    the bw scratch accumulators."""
+    n_t, n_o, n_c = n_mlp
+    has_cgrid = cfg.color_grid_sizes is not None
+    heads_unpacked = has_cgrid or n_t == 0
+    dims_t = list(cfg.n_hidden_trunk)
+    dims_o = list(cfg.n_hidden_opacity)
+    dims_c = list(cfg.n_hidden_color)
+    shapes = []
+    for l in range(n_t):
+        shapes.append((dims_t[l], dims_t[l + 1], l > 0))
+    for l in range(n_o):
+        shapes.append((dims_o[l], dims_o[l + 1],
+                       not (l == 0 and heads_unpacked)))
+    for l in range(n_c):
+        shapes.append((dims_c[l], dims_c[l + 1],
+                       not (l == 0 and heads_unpacked)))
+    return shapes
 
 
 # ---------------------------------------------------------------------------
@@ -993,6 +1487,17 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
         packed_heads = (
             _pack_heads(w_o, b_o, w_c, b_c) if FW_PACK_HEADS else None
         )
+        P = _pack_factor(cfg, K)
+        if P > 1:
+            pc = _PackCtx(P, K * B)
+            p_layers = _prep_decoder_packed(cfg, pc, mlps, t1_folded)
+            cr.enc_pack = (
+                _build_enc_pack(pc, cr.enc) if p_layers[3] else None
+            )
+            Kp = K // P
+            Nc = w_c[-1].shape[1]
+            pc.warm(_packed_layer_shapes(cfg, n_mlp), Nc,
+                    w_o[-1].shape[1], enc.shape[1])
 
         def w0_of(ci, idx_map):
             if not windowed:
@@ -1018,15 +1523,44 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
                                w0_of(ci, color_idx) if windowed else None)
                 if has_cgrid else None
             )
+            gates = _chunk_gates(gate_ref, ci, K, S, bw=False)
+            if P > 1:
+                sigma_cols, color_pack, _, _, _ = _chunk_decoder_packed(
+                    cfg, pc, grid_ref, cgrid_ref, samplers, csamplers,
+                    mask_m, cr, p_layers, mlps, ci, False, pid, seed,
+                    t1_folded,
+                )
+                sig_q = _bk_cols(sigma_cols)
+                w_ks = []
+                for k in range(K):
+                    q, j = k // Kp, k % Kp
+                    sig_k = sig_q[q][j * B: (j + 1) * B]
+                    if gates is not None:
+                        sig_k = sig_k * gates[k]
+                    nlt_new = nlt + sig_k * dv_cols[k]
+                    w = jnp.exp(-nlt) - jnp.exp(-nlt_new)
+                    depth_acc = depth_acc + w * t_cols[k]
+                    w_ks.append(w if gates is None else w * gates[k])
+                    nlt = nlt_new
+                feat_acc = feat_acc + _packed_ea_color(
+                    pc, w_ks, color_pack, Nc, B, Kp,
+                )
+                return (nlt, depth_acc, feat_acc)
             sigma, color, _, _, _ = _chunk_decoder(
                 cfg, grid_ref, cgrid_ref, samplers, csamplers, mask_m,
                 cr.enc, noise_i1, seed, mlps, packed_heads, t1_folded,
             )
-            gates = _chunk_gates(gate_ref, ci, K, S, bw=False)
             # sequential EA over the chunk (cheap [B, .] vector ops);
             # scaffold gates zero empty-space contributions (reference
             # renderer_fw.py:234-252 semantics, applied numerically);
             # dv folds the step-validity mask (padded steps contribute 0)
+            if "noea" in ABLATE:
+                for k in range(K):
+                    r = slice(k * B, (k + 1) * B)
+                    nlt = nlt + sigma[r] * dv_cols[k]
+                    depth_acc = depth_acc + sigma[r] * t_cols[k]
+                    feat_acc = feat_acc + color[r]
+                return (nlt, depth_acc, feat_acc)
             for k in range(K):
                 r = slice(k * B, (k + 1) * B)
                 sig_k = sigma[r] if gates is None else sigma[r] * gates[k]
@@ -1271,8 +1805,18 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
     windowed = wmaps is not None
     if windowed:
         main_idx, color_idx, n_wgrids = wmaps
+    K_bw = _march_chunk(cfg, bw=True, windowed=windowed)
+    P_bw = _pack_factor(cfg, K_bw)
+    n_scr = 2 * (n_t + n_o + n_c) if P_bw > 1 else 0
 
     def kernel(*refs):
+        if n_scr:
+            scr_refs = refs[-n_scr:]
+            refs = refs[:-n_scr]
+            scr_pairs = [
+                (scr_refs[2 * i], scr_refs[2 * i + 1])
+                for i in range(n_scr // 2)
+            ]
         (o_ref, d_ref, near_ref, far_ref, gsel_ref, enc_ref, nltf_ref,
          gdepth_ref, gnlt_ref, gfeat_ref, seed_ref) = refs[:11]
         rest = refs[11:]
@@ -1345,6 +1889,32 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
             _pack_heads(w_o, b_o, w_c, b_c) if BW_PACK_HEADS else None
         )
         cdt = _cdt(cfg)
+        P = P_bw
+        if P > 1:
+            pc = _PackCtx(P, K * B)
+            p_layers = _prep_decoder_packed(cfg, pc, mlps, False)
+            trunk_packed = p_layers[3]
+            cr.enc_pack = (
+                _build_enc_pack(pc, cr.enc) if trunk_packed else None
+            )
+            Kp = K // P
+            Nc = w_c[-1].shape[1]
+            No = w_o[-1].shape[1]
+            He = enc.shape[1]
+            # g_feat broadcast to every sample slot, loop-invariant
+            gfeat_rows = (
+                jnp.concatenate([g_feat] * Kp, axis=0) if Kp > 1 else g_feat
+            )
+            gfeat_pack = jnp.dot(gfeat_rows, pc.tile(Nc),
+                                 preferred_element_type=jnp.float32)
+            # per-layer scratch (zeroed per program; flushed at the end)
+            for w_ref, b_ref in scr_pairs:
+                w_ref[...] = jnp.zeros_like(w_ref)
+                b_ref[...] = jnp.zeros_like(b_ref)
+            scr_t = scr_pairs[:n_t]
+            scr_o = scr_pairs[n_t: n_t + n_o]
+            scr_c = scr_pairs[n_t + n_o:]
+            pc.warm(_packed_layer_shapes(cfg, n_mlp), Nc, No, He)
 
         def w0_of(ci, idx_map):
             if not windowed:
@@ -1375,11 +1945,109 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
                                w0_of(ci, color_idx) if windowed else None)
                 if has_cgrid else None
             )
+            gates = _chunk_gates(gate_ref, ci, K, S, bw=True)
+            if P > 1:
+                sigma_cols, color_pack, res, feat, cfeat = (
+                    _chunk_decoder_packed(
+                        cfg, pc, grid_ref, cgrid_ref, samplers, csamplers,
+                        mask_m, cr, p_layers, mlps, s_hi, True, pid, seed,
+                    )
+                )
+                sv_t, sv_o, sv_c, op_cols, _, _, _ = res
+                lt_, lo_, lc_, _ = p_layers
+                # ---- EA adjoint (packed extraction, per-step rewind) ----
+                sig_q = _bk_cols(sigma_cols)
+                colg_cols = jnp.dot(
+                    gfeat_pack * color_pack, pc.block_sum(Nc),
+                    preferred_element_type=jnp.float32,
+                )                                     # [Mq, P]
+                colg_q = _bk_cols(colg_cols)
+                g_sig_ks, w_ks = [], []
+                for k in range(K):
+                    q, j = k // Kp, k % Kp
+                    sl = slice(j * B, (j + 1) * B)
+                    sig_k = sig_q[q][sl]
+                    colg_k = colg_q[q][sl]
+                    gk = None if gates is None else gates[k]
+                    if gk is not None:
+                        sig_k = sig_k * gk
+                        colg_k = colg_k * gk
+                    s_s = sig_k * dv_cols[k]
+                    nlt_prev = nlt_run - s_s
+                    T = jnp.exp(-nlt_run)
+                    T_prev = jnp.exp(-nlt_prev)
+                    w = T_prev - T
+                    g_w = g_depth * t_cols[k] + colg_k
+                    g_s = g_w * T - suffix + g_nlt
+                    g_sig = g_s * dv_cols[k]
+                    if gk is not None:
+                        g_sig = g_sig * gk
+                    g_sig_ks.append(g_sig)
+                    w_ks.append(w if gk is None else w * gk)
+                    suffix = suffix + g_w * w
+                    nlt_run = nlt_prev
+                # ---- packed decoder backward ----
+                g_op_cols = pc.expand_cols(
+                    _stack_k_cols(pc, g_sig_ks, Kp), 1,
+                )                                     # [Mq, P]
+                g_op_cols = g_op_cols * cfg.gain * _d_softplus(op_cols)
+                g_op_pack = jnp.dot(g_op_cols, pc.sel_col0_t(No),
+                                    preferred_element_type=jnp.float32)
+                wg_exp = pc.expand_cols(_stack_k_cols(pc, w_ks, Kp), Nc)
+                g_col_pre = (
+                    wg_exp * gfeat_pack * color_pack * (1.0 - color_pack)
+                )
+                g_ct_in = _run_mlp_bwd_packed(pc, g_col_pre, sv_c, lc_,
+                                              scr_c)
+                g_ot_in = _run_mlp_bwd_packed(pc, g_op_pack, sv_o, lo_,
+                                              scr_o)
+                if not has_cgrid:
+                    if trunk_packed:
+                        g_trunk = g_ct_in + g_ot_in
+                        g_pieces = _run_mlp_bwd_packed(
+                            pc, g_trunk, sv_t, lt_, scr_t, final_relu=True,
+                        )
+                        genc_red = jnp.dot(
+                            g_ct_in, pc.reduce(He),
+                            preferred_element_type=jnp.float32,
+                        )
+                        for j in range(Kp):
+                            genc_acc = genc_acc + genc_red[
+                                j * B: (j + 1) * B]
+                    else:
+                        # 0-layer trunk: heads saw relu(feat) + enc
+                        g_pieces = [
+                            (a + b) * (fq > 0.0).astype(jnp.float32)
+                            for a, b, fq in zip(g_ct_in, g_ot_in,
+                                                pc.pieces(feat))
+                        ]
+                        for gq in g_ct_in:
+                            for j in range(Kp):
+                                genc_acc = genc_acc + gq[
+                                    j * B: (j + 1) * B]
+                    g_cf_pieces = None
+                else:
+                    g_pieces = [
+                        g * (fq > 0.0).astype(jnp.float32)
+                        for g, fq in zip(g_ot_in, pc.pieces(feat))
+                    ]
+                    g_cf_pieces = [
+                        g * (fq > 0.0).astype(jnp.float32)
+                        for g, fq in zip(g_ct_in, pc.pieces(cfeat))
+                    ]
+                    for gq in g_ct_in:
+                        for j in range(Kp):
+                            genc_acc = genc_acc + gq[j * B: (j + 1) * B]
+                _splat_samplers_pieces(pc, samplers, ggrid_ref, mask_m,
+                                       g_pieces)
+                if has_cgrid:
+                    _splat_samplers_pieces(pc, csamplers, gcgrid_ref,
+                                           mask_m, g_cf_pieces)
+                return (nlt_run, suffix, genc_acc)
             sigma, color, res, feat, cfeat = _chunk_decoder(
                 cfg, grid_ref, cgrid_ref, samplers, csamplers, mask_m,
                 cr.enc, noise_i1, seed, mlps, packed_heads,
             )
-            gates = _chunk_gates(gate_ref, ci, K, S, bw=True)
             sv_t, sv_o, sv_c, sv_h, op_raw, _, _, _ = res
 
             # ---- sequential EA adjoint with transmittance rewind ----
@@ -1387,7 +2055,13 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
             # the stored cotangents so the decoder chain below stays
             # gate-free (the gate is constant w.r.t. all params)
             g_sigma_ks, g_color_ks = [], []
-            for k in range(K):
+            if "noeaadj" in ABLATE:
+                for k in range(K):
+                    r = slice(k * B, (k + 1) * B)
+                    nlt_run = nlt_run - sigma[r] * dv_cols[k]
+                    g_sigma_ks.append(g_nlt * dv_cols[k])
+                    g_color_ks.append(g_feat * t_cols[k])
+            for k in range(0 if "noeaadj" in ABLATE else K):
                 r = slice(k * B, (k + 1) * B)
                 if gates is None:
                     sig_k, col_k, gk = sigma[r], color[r], None
@@ -1422,6 +2096,15 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
             )
 
             # ---- batched decoder backward (hand-written chain) ----
+            if "nomlpbwd" in ABLATE:
+                g_feat_s = jnp.zeros_like(feat) + g_sigma
+                g_cfeat_s = (
+                    jnp.zeros_like(cfeat) + g_sigma if has_cgrid else None
+                )
+                _splat_samplers(samplers, ggrid_ref, mask_m, g_feat_s)
+                if has_cgrid:
+                    _splat_samplers(csamplers, gcgrid_ref, mask_m, g_cfeat_s)
+                return (nlt_run, suffix, genc_acc)
             g_op_raw = g_sigma * cfg.gain * _d_softplus(op_raw)
             g_col_pre = g_color * color * (1.0 - color)
 
@@ -1489,7 +2172,40 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
         nlt_end, _, genc = jax.lax.fori_loop(0, n_chunks, body, init)
         genc_ref[:] = genc
 
+        if P > 1:
+            # flush the packed per-program scratch into the revisited
+            # gradient output refs (diagonal-block extraction)
+            w_refs = (
+                gmlp_refs[:n_t]
+                + gmlp_refs[2 * n_t: 2 * n_t + n_o]
+                + gmlp_refs[2 * (n_t + n_o): 2 * (n_t + n_o) + n_c]
+            )
+            b_refs = (
+                gmlp_refs[n_t: 2 * n_t]
+                + gmlp_refs[2 * n_t + n_o: 2 * (n_t + n_o)]
+                + gmlp_refs[2 * (n_t + n_o) + n_c:]
+            )
+            _flush_packed_scratch(
+                pc, scr_pairs, _packed_layer_shapes(cfg, n_mlp),
+                w_refs, b_refs,
+            )
+
     return kernel
+
+
+def _bw_scratch_shapes(cfg, n_mlp, windowed):
+    """VMEM scratch accumulators for the packed bw path (empty if the
+    unpacked path runs)."""
+    K = _march_chunk(cfg, bw=True, windowed=windowed)
+    P = _pack_factor(cfg, K)
+    if P <= 1:
+        return []
+    shapes = []
+    for (Kd, Nd, packed) in _packed_layer_shapes(cfg, n_mlp):
+        f = P if packed else 1
+        shapes.append(pltpu.VMEM((f * Kd, f * Nd), jnp.float32))
+        shapes.append(pltpu.VMEM((1, f * Nd), jnp.float32))
+    return shapes
 
 
 def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
@@ -1585,6 +2301,7 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
             in_specs=in_specs[:11] + g_specs + in_specs[11:],
             out_specs=out_specs,
             out_shape=out_shape,
+            scratch_shapes=_bw_scratch_shapes(cfg, n_mlp, False),
             interpret=INTERPRET,
             compiler_params=_COMPILER_PARAMS,
         )(*(inputs[:11] + g_in + inputs[11:]))
@@ -1618,6 +2335,7 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
                 + in_specs[11:],
                 out_specs=out_specs,
                 out_shape=out_shape,
+                scratch_shapes=_bw_scratch_shapes(cfg, n_mlp, True),
                 interpret=INTERPRET,
                 compiler_params=_COMPILER_PARAMS,
             )(*(inputs[:11] + [w0] + g_in + inputs[11:]))

@@ -8,10 +8,9 @@ import bench
 
 rays, grid, dp = bench.make_inputs(jax.random.PRNGKey(0))
 n_rays = rays.directions.shape[0]
-rp.FUSE_HEADS_FW = rp.FUSE_HEADS_BW = False
 
 def run(tag, ablate, grad=True):
-    rp.ABLATE = set(ablate)
+    rp.ABLATE = frozenset(ablate)
     def fwd(grid, mlp_params, encoding):
         r = dataclasses.replace(rays, encoding=encoding)
         d = dataclasses.replace(dp, mlp_params=mlp_params)
@@ -42,14 +41,10 @@ def run(tag, ablate, grad=True):
     dt = ((t2 - t1) - (t1 - t0)) / 10
     print(f"{tag:34s} {dt*1e3:7.2f} ms", flush=True)
 
-run("fw full", (), grad=False)
-run("fw nomlp", ("nomlp",), grad=False)
-run("fw nosample", ("nosample",), grad=False)
-run("fw nosample+nomlp", ("nosample", "nomlp"), grad=False)
 run("fw noea", ("noea",), grad=False)
 run("fwbw full", ())
 run("fwbw nosplat", ("nosplat",))
-run("fwbw nomlpgrad", ("nomlpgrad",))
-run("fwbw nosplat+nomlpgrad", ("nosplat", "nomlpgrad"))
+run("fwbw nomlpbwd", ("nomlpbwd",))
+run("fwbw nomlpbwd+nosplat", ("nomlpbwd", "nosplat"))
 run("fwbw noeaadj", ("noeaadj",))
-run("fwbw nomlp (recompute only)", ("nomlp", "nomlpgrad"))
+run("fwbw nomlp+nomlpbwd", ("nomlp", "nomlpbwd"))
