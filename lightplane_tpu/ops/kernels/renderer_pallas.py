@@ -1532,16 +1532,18 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
                 )
                 sig_q = _bk_cols(sigma_cols)
                 w_ks = []
+                T_carry = jnp.exp(-nlt)   # one exp per step, carried
                 for k in range(K):
                     q, j = k // Kp, k % Kp
                     sig_k = sig_q[q][j * B: (j + 1) * B]
                     if gates is not None:
                         sig_k = sig_k * gates[k]
-                    nlt_new = nlt + sig_k * dv_cols[k]
-                    w = jnp.exp(-nlt) - jnp.exp(-nlt_new)
+                    nlt = nlt + sig_k * dv_cols[k]
+                    T_new = jnp.exp(-nlt)
+                    w = T_carry - T_new
+                    T_carry = T_new
                     depth_acc = depth_acc + w * t_cols[k]
                     w_ks.append(w if gates is None else w * gates[k])
-                    nlt = nlt_new
                 feat_acc = feat_acc + _packed_ea_color(
                     pc, w_ks, color_pack, Nc, B, Kp,
                 )
@@ -1956,13 +1958,14 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
                 sv_t, sv_o, sv_c, op_cols, _, _, _ = res
                 lt_, lo_, lc_, _ = p_layers
                 # ---- EA adjoint (packed extraction, per-step rewind) ----
-                sig_q = _bk_cols(sigma_cols)
                 colg_cols = jnp.dot(
                     gfeat_pack * color_pack, pc.block_sum(Nc),
                     preferred_element_type=jnp.float32,
                 )                                     # [Mq, P]
+                sig_q = _bk_cols(sigma_cols)
                 colg_q = _bk_cols(colg_cols)
                 g_sig_ks, w_ks = [], []
+                T = jnp.exp(-nlt_run)     # one exp per step, carried
                 for k in range(K):
                     q, j = k // Kp, k % Kp
                     sl = slice(j * B, (j + 1) * B)
@@ -1972,20 +1975,18 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
                     if gk is not None:
                         sig_k = sig_k * gk
                         colg_k = colg_k * gk
-                    s_s = sig_k * dv_cols[k]
-                    nlt_prev = nlt_run - s_s
-                    T = jnp.exp(-nlt_run)
-                    T_prev = jnp.exp(-nlt_prev)
+                    nlt_run = nlt_run - sig_k * dv_cols[k]
+                    T_prev = jnp.exp(-nlt_run)
                     w = T_prev - T
                     g_w = g_depth * t_cols[k] + colg_k
                     g_s = g_w * T - suffix + g_nlt
+                    T = T_prev
                     g_sig = g_s * dv_cols[k]
                     if gk is not None:
                         g_sig = g_sig * gk
                     g_sig_ks.append(g_sig)
                     w_ks.append(w if gk is None else w * gk)
                     suffix = suffix + g_w * w
-                    nlt_run = nlt_prev
                 # ---- packed decoder backward ----
                 g_op_cols = pc.expand_cols(
                     _stack_k_cols(pc, g_sig_ks, Kp), 1,
