@@ -56,6 +56,11 @@ def make_inputs(key):
     directions = jnp.stack(
         [xs.ravel(), ys.ravel(), jnp.ones(n_rays)], axis=-1
     )
+    # tile-major ray order: spatially-coherent 256-ray blocks enable the
+    # renderer's packed 2D-window kernels (outputs are per-ray; an image
+    # consumer would scatter back with the inverse permutation)
+    order, _ = lt.tile_ray_order(IMAGE_SIZE, IMAGE_SIZE)
+    directions = directions[order]
     rays = lt.Rays(
         directions=directions,
         origins=jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (n_rays, 1)),

@@ -21,6 +21,7 @@ from .ops.rays import (
     calc_harmonic_embedding,
     calc_harmonic_embedding_dim,
     jitter_near_far,
+    tile_ray_order,
 )
 from .ops.misc_utils import (
     flatten_grid,

@@ -557,7 +557,7 @@ def _host_chunk_endpoint_depths(cfg, near, far, K, bw):
     return t
 
 
-def _window_plan(cfg, origins, dirs, near, far, K, bw, winfos):
+def _window_plan(cfg, origins, dirs, near, far, K, bw, winfos, B):
     """Host-side window starts + global fit flag.
 
     ``winfos``: [(axis, wsize, win), ...] for each windowable grid.
@@ -569,7 +569,7 @@ def _window_plan(cfg, origins, dirs, near, far, K, bw, winfos):
     Returns ``(w0 [n_blocks, n_chunks * n_wgrids] int32, fits_all bool)``.
     """
     R = origins.shape[0]
-    n_blocks = R // RAY_BLOCK
+    n_blocks = R // B
     t = _host_chunk_endpoint_depths(cfg, near, far, K, bw)  # [R, nc, 2]
     n_chunks = t.shape[1]
     w0_cols = []
@@ -578,7 +578,7 @@ def _window_plan(cfg, origins, dirs, near, far, K, bw, winfos):
         ax = 2 if axis == "z" else 1
         p = origins[:, None, None, ax] + t * dirs[:, None, None, ax]
         f = ((p + 1.0) * 0.5) * wsize - 0.5
-        f = f.reshape(n_blocks, RAY_BLOCK, n_chunks, 2)
+        f = f.reshape(n_blocks, B, n_chunks, 2)
         fmin = jnp.min(f, axis=(1, 3))                # [n_blocks, nc]
         fmax = jnp.max(f, axis=(1, 3))
         lo = jnp.floor(fmin).astype(jnp.int32)
@@ -621,6 +621,334 @@ def _windowable_infos(cfg, infos, cinfos):
     return winfos, main_idx, color_idx
 
 
+
+
+# ---------------------------------------------------------------------------
+# W2: packed 2D-window sampling (stencils on 32-cell windows, P per row)
+# ---------------------------------------------------------------------------
+
+# A chunk of tile-ordered rays touches a tiny 2D patch of each plane: a
+# (W2_ROWS x W2_COLS) cell window.  With P = 128 // (W2_ROWS*W2_COLS)
+# samples packed per row, the stencil is [Mq, 128] instead of [M, 128] —
+# the sampling matmul, the gradient splat, and (most of) the stencil
+# build run at Mq = M/P rows, and the sampler's output/cotangent use the
+# packed MLP layout directly (no pack/unpack transitions at all).
+# Requires a tile-coherent ray order (e.g. 8x32-pixel image tiles with
+# RAY_BLOCK=256); the runtime fit check falls back to the 1D-window or
+# general kernels otherwise.
+W2_ROWS = 4
+W2_COLS = 8
+
+
+def _w2_cells():
+    return W2_ROWS * W2_COLS
+
+
+def _w2_grid_info(info: _GridInfo):
+    """(row_axis, col_axis, S_r, S_c) for a 2D-windowable grid, else
+    None.  Axes are 0=x, 1=y, 2=z (grid dims W, H, D)."""
+    if info.batch > 1:
+        return None
+    if info.cells <= _w2_cells() * 4:
+        return None  # tiny grid: plain path is fine
+    if info.D == 1 and info.H > 1 and info.W > 1:
+        r_ax, c_ax, S_r, S_c = 1, 0, info.H, info.W
+    elif info.H == 1 and info.D > 1 and info.W > 1:
+        r_ax, c_ax, S_r, S_c = 2, 0, info.D, info.W
+    elif info.W == 1 and info.D > 1 and info.H > 1:
+        r_ax, c_ax, S_r, S_c = 2, 1, info.D, info.H
+    else:
+        return None  # voxel: 3D windows not implemented
+    if S_r < W2_ROWS or S_c < W2_COLS:
+        return None
+    return (r_ax, c_ax, S_r, S_c)
+
+
+def _w2_available(cfg, infos, cinfos, P):
+    """W2 runs only when every sub-grid is either 2D-windowable or tiny
+    (plain), packing fills the 128 lanes exactly, and coordinates are
+    linear in depth."""
+    if cfg.contract_coords or P * _w2_cells() != 128:
+        return False
+    any_w2 = False
+    for info in tuple(infos) + tuple(cinfos):
+        w2i = _w2_grid_info(info)
+        if w2i is not None:
+            any_w2 = True
+        elif info.cells > _w2_cells() * 4:
+            return False  # a big non-windowable grid would stay dense
+    return any_w2
+
+
+def _w2_plan(cfg, origins, dirs, near, far, K, bw, w2infos, B):
+    """Host-side 2D window starts + fit flag.
+
+    ``w2infos``: [(r_ax, c_ax, S_r, S_c), ...] for the w2 grids in
+    order.  Returns (w0 [n_blocks_pad8, cols_pad128] int32 SMEM table
+    with 2 entries (row0, col0) per (chunk, grid), fits flag)."""
+    R = origins.shape[0]
+    n_blocks = R // B
+    t = _host_chunk_endpoint_depths(cfg, near, far, K, bw)  # [R, nc, 2]
+    n_chunks = t.shape[1]
+    w0_cols = []
+    fits = []
+    for (r_ax, c_ax, S_r, S_c) in w2infos:
+        for ax, S, win in ((r_ax, S_r, W2_ROWS), (c_ax, S_c, W2_COLS)):
+            p = origins[:, None, None, ax] + t * dirs[:, None, None, ax]
+            f = ((p + 1.0) * 0.5) * S - 0.5
+            f = f.reshape(n_blocks, B, n_chunks, 2)
+            fmin = jnp.min(f, axis=(1, 3))
+            fmax = jnp.max(f, axis=(1, 3))
+            lo = jnp.floor(fmin).astype(jnp.int32)
+            hi = jnp.floor(fmax).astype(jnp.int32) + 1
+            w0 = jnp.clip(lo, 0, S - win)
+            w0_cols.append(w0)
+            fits.append(jnp.minimum(hi, S - 1) - w0 < win)
+    # [n_blocks, nc, 2*G] -> [n_blocks, nc * 2G] chunk-major
+    w0 = jnp.stack(w0_cols, axis=-1).reshape(n_blocks, -1)
+    w0 = jnp.pad(w0, ((0, (-n_blocks) % 8), (0, (-w0.shape[1]) % 128)))
+    return w0, jnp.all(jnp.stack(fits))
+
+
+def _w2_iotas():
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    rx = lane % W2_COLS
+    ry = (lane // W2_COLS) % W2_ROWS
+    return rx, ry
+
+
+class _W2Sampler:
+    """Per-(chunk, sub-grid) packed 2D-window sampler.
+
+    ``coord_exps``: axis -> [Mq, 128] raw coordinate (in [-1, 1]) of each
+    packed sample, broadcast over its 32-cell lane block (shared across
+    grids).  ``w0r``/``w0c``: window starts (SMEM scalars).  Produces
+    packed [Mq, P*C] samples and consumes packed cotangents."""
+
+    def __init__(self, pc, info, w2info, coord_exps, w0r, w0c, st_mask):
+        self.pc = pc
+        self.info = info
+        self.r_ax, self.c_ax, self.S_r, self.S_c = w2info
+        self.coord_exps = coord_exps
+        self.w0r, self.w0c = w0r, w0c
+        self.st_mask = st_mask     # [Mq, 128] OOB/pad mask or None
+        self._st = None
+        self._gblk = None
+
+    def _stencil(self):
+        if self._st is None:
+            rx, ry = _w2_iotas()
+            fr = self.coord_exps[self.r_ax]
+            fc = self.coord_exps[self.c_ax]
+            fr = (fr + 1.0) * (0.5 * self.S_r) - 0.5 - self.w0r.astype(
+                jnp.float32)
+            fc = (fc + 1.0) * (0.5 * self.S_c) - 0.5 - self.w0c.astype(
+                jnp.float32)
+            st = _hat(ry, fr) * _hat(rx, fc)
+            if self.st_mask is not None:
+                st = st * self.st_mask
+            self._st = st
+        return self._st
+
+    def _g_blk(self, ref):
+        if self._gblk is None:
+            pc = self.pc
+            C = ref.shape[1]
+            rows = []
+            base = self.info.offset + self.w0r * self.S_c + self.w0c
+            for ry in range(W2_ROWS):
+                rows.append(ref[pl.ds(base + ry * self.S_c, W2_COLS), :])
+            g_win = (rows[0] if W2_ROWS == 1
+                     else jnp.concatenate(rows, axis=0))   # [32, C]
+            blk = None
+            for q in range(pc.P):
+                t = jnp.dot(
+                    pc.unplace(_w2_cells(), q),
+                    jnp.dot(g_win, pc.place(C, q),
+                            preferred_element_type=jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+                blk = t if blk is None else blk + t
+            self._gblk = blk                               # [128, P*C]
+        return self._gblk
+
+    def sample(self, ref):
+        return jnp.dot(self._stencil(), self._g_blk(ref),
+                       preferred_element_type=jnp.float32)  # [Mq, P*C]
+
+    def splat_accum(self, grad_ref, dval_pack):
+        pc = self.pc
+        C = grad_ref.shape[1]
+        blk = jax.lax.dot_general(
+            self._stencil(), dval_pack, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # [128, P*C]
+        diag = None
+        for q in range(pc.P):
+            t = jnp.dot(
+                jnp.dot(pc.place(_w2_cells(), q), blk,
+                        preferred_element_type=jnp.float32),
+                pc.unplace(C, q),
+                preferred_element_type=jnp.float32,
+            )
+            diag = t if diag is None else diag + t         # [32, C]
+        base = self.info.offset + self.w0r * self.S_c + self.w0c
+        for ry in range(W2_ROWS):
+            sl = pl.ds(base + ry * self.S_c, W2_COLS)
+            grad_ref[sl, :] += diag[ry * W2_COLS: (ry + 1) * W2_COLS]
+
+
+def _w2_coord_exps(pc, pts_ks, axes, Kp, B):
+    """axis -> [Mq, 128] sample coordinate broadcast over 32-lane blocks
+    (exact broadcast-mask sums; no MXU rounding on coordinates)."""
+    out = {}
+    for ax in axes:
+        cols = [
+            jnp.concatenate(
+                [pts_ks[q * Kp + j][:, ax: ax + 1] for j in range(Kp)],
+                axis=0,
+            ) if Kp > 1 else pts_ks[q * Kp][:, ax: ax + 1]
+            for q in range(pc.P)
+        ]
+        exp = None
+        for q, cq in enumerate(cols):
+            t = cq * pc.block_row(q, _w2_cells())
+            exp = t if exp is None else exp + t
+        out[ax] = exp
+    return out
+
+
+def _w2_st_mask(pc, mask_m, Kp, B):
+    """[Mq, 128] stencil mask: OOB sample rows zeroed (folded into the
+    stencils, which covers both the sample and the splat), plus the
+    lane-pad mask when P*cells < 128 (not the case for the default
+    shape, but kept for safety)."""
+    if mask_m is None:
+        return None
+    cols = [
+        jnp.concatenate(
+            [mask_m[(q * Kp + j) * B: (q * Kp + j + 1) * B]
+             for j in range(Kp)], axis=0,
+        ) if Kp > 1 else mask_m[q * B: (q + 1) * B]
+        for q in range(pc.P)
+    ]
+    exp = None
+    for q, cq in enumerate(cols):
+        t = cq * pc.block_row(q, _w2_cells())
+        exp = t if exp is None else exp + t
+    return exp
+
+
+class _W2PlainSampler:
+    """Packed-layout sampler for small non-windowable grids in W2 mode:
+    the full dense stencil [M, V_g] with per-q packed output via
+    lane-placed grid copies (same math as :class:`_GridSampler`'s plain
+    mode, but emitting/consuming the packed [Mq, P*C] layout)."""
+
+    def __init__(self, pc, info, iotas, pts_ks, gsel, mask_m):
+        self.pc = pc
+        self.info = info
+        self.iotas = iotas
+        self.pts_ks = pts_ks
+        self.gsel = gsel
+        self.mask_m = mask_m
+        self._st = None
+
+    def _stencil(self):
+        if self._st is None:
+            sts = [
+                _stencil(self.info, self.iotas, p, self.gsel)
+                for p in self.pts_ks
+            ]
+            st = sts[0] if len(sts) == 1 else jnp.concatenate(sts, axis=0)
+            if self.mask_m is not None:
+                st = st * self.mask_m
+            self._st = st                       # [M, V_g]
+        return self._st
+
+    def sample(self, ref):
+        pc = self.pc
+        info = self.info
+        st = self._stencil()
+        g = ref[info.offset: info.offset + info.cells, :]
+        out = None
+        for q in range(pc.P):
+            gq = jnp.dot(g, pc.place(g.shape[1], q),
+                         preferred_element_type=jnp.float32)
+            t = jnp.dot(st[q * pc.Mq: (q + 1) * pc.Mq], gq,
+                        preferred_element_type=jnp.float32)
+            out = t if out is None else out + t
+        return out                              # [Mq, P*C]
+
+    def splat_accum(self, grad_ref, dval_pack):
+        pc = self.pc
+        info = self.info
+        C = grad_ref.shape[1]
+        st = self._stencil()
+        upd = None
+        for q in range(pc.P):
+            dq = jnp.dot(dval_pack, pc.unplace(C, q),
+                         preferred_element_type=jnp.float32)
+            t = jax.lax.dot_general(
+                st[q * pc.Mq: (q + 1) * pc.Mq], dq,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            upd = t if upd is None else upd + t
+        grad_ref[info.offset: info.offset + info.cells, :] += upd
+
+
+def _make_w2_samplers(cfg, pc, infos, cinfos, iotas_list, ciotas_list,
+                      w2infos, main_idx, color_idx, pts_ks, gsel, mask_m,
+                      w0_ref, pid, ci, Kp, B):
+    """Per-chunk W2 sampler lists for the main and color grid-lists."""
+    axes = set()
+    for (r_ax, c_ax, _, _) in w2infos:
+        axes.add(r_ax)
+        axes.add(c_ax)
+    coord_exps = _w2_coord_exps(pc, pts_ks, sorted(axes), Kp, B)
+    st_mask = _w2_st_mask(pc, mask_m, Kp, B)
+    n_w2 = len(w2infos)
+
+    def build(lst, iotas_lst, idx_map):
+        if lst is None:
+            return None
+        out = []
+        for i, info in enumerate(lst):
+            wi = idx_map[i]
+            if wi is None:
+                out.append(_W2PlainSampler(pc, info, iotas_lst[i],
+                                           pts_ks, gsel, mask_m))
+            else:
+                w0r = w0_ref[pid % 8, ci * 2 * n_w2 + 2 * wi]
+                w0c = w0_ref[pid % 8, ci * 2 * n_w2 + 2 * wi + 1]
+                out.append(_W2Sampler(pc, info, w2infos[wi], coord_exps,
+                                      w0r, w0c, st_mask))
+        return out
+
+    return (build(infos, iotas_list, main_idx),
+            build(cinfos, ciotas_list, color_idx))
+
+
+def _w2_grid_maps(cfg, infos, cinfos):
+    """(w2infos, main_idx, color_idx): per-grid slot in the w0 table
+    (None for grids that use the dense plain path)."""
+    w2infos = []
+
+    def scan(lst):
+        idx = []
+        for info in lst:
+            w2i = _w2_grid_info(info)
+            if w2i is None:
+                idx.append(None)
+            else:
+                idx.append(len(w2infos))
+                w2infos.append(w2i)
+        return idx
+
+    main_idx = scan(infos)
+    color_idx = scan(cinfos)
+    return w2infos, main_idx, color_idx
 
 
 def _splat_sts(sts, grad_ref, infos, pts, mask_oob, dval,
@@ -1139,59 +1467,95 @@ def _noise_cols(cfg, cr, pc, ci, bw, pid, seed):
     return _int_to_randn(i1, i2, seed) * cfg.inject_noise_sigma
 
 
-def _prep_decoder_packed(cfg, pc, mlps, t1_folded):
+class _PackedDecoder:
+    """Prologue bundle: packed/placed layer params for the three MLPs."""
+
+    def __init__(self, lt_, lo_, lc_, trunk_packed, b0_pack=None):
+        self.lt = lt_
+        self.lo = lo_
+        self.lc = lc_
+        self.trunk_packed = trunk_packed
+        self.b0_pack = b0_pack  # w2 + t1_folded: packed trunk-1 bias
+
+    def __getitem__(self, i):  # legacy tuple-style access
+        return (self.lt, self.lo, self.lc, self.trunk_packed)[i]
+
+
+def _prep_decoder_packed(cfg, pc, mlps, t1_folded, w2=False):
     """Prologue: packed/placed layer params for the three MLPs.
 
-    Transition (unpacked-input) layers: the trunk's first layer — or, when
-    the trunk is absent/folded-and-single, the heads' first layers."""
+    Transition (unpacked-input) layers: the trunk's first layer — or,
+    when the trunk is absent/folded-and-single, the heads' first layers.
+    In ``w2`` mode the sampler output is already packed, so there are no
+    transition layers at all."""
     (w_t, b_t, w_o, b_o, w_c, b_c) = mlps
     has_cgrid = cfg.color_grid_sizes is not None
+    b0_pack = None
     if t1_folded:
-        # fw only: layer 1 folded into sampling; the packed trunk chain
-        # starts at layer 2 with an unpacked [M, H] relu(pre1) input
-        lt_ = pc.prep_layers(w_t[1:], b_t[1:], first_unpacked=True)
-        trunk_packed_out = len(w_t) > 1
+        # fw only: layer 1 folded into sampling; the trunk chain starts
+        # at layer 2 with a relu(pre1) input ([M, H] unpacked, or packed
+        # [Mq, P*H] in w2 mode)
+        lt_ = pc.prep_layers(w_t[1:], b_t[1:], first_unpacked=not w2)
+        trunk_packed_out = w2 or len(w_t) > 1
+        if w2:
+            b0_pack = jnp.dot(b_t[0], pc.tile(w_t[0].shape[1]),
+                              preferred_element_type=jnp.float32)
     elif not has_cgrid and len(w_t) > 0:
-        lt_ = pc.prep_layers(w_t, b_t, first_unpacked=True)
+        lt_ = pc.prep_layers(w_t, b_t, first_unpacked=not w2)
         trunk_packed_out = True
     else:
         lt_ = []
-        trunk_packed_out = False
+        trunk_packed_out = w2
     heads_unpacked = not trunk_packed_out
     lo_ = pc.prep_layers(w_o, b_o, first_unpacked=heads_unpacked)
     lc_ = pc.prep_layers(w_c, b_c, first_unpacked=heads_unpacked)
-    return lt_, lo_, lc_, trunk_packed_out
+    return _PackedDecoder(lt_, lo_, lc_, trunk_packed_out, b0_pack)
 
 
 def _decoder_fwd_packed(cfg, pc, feat, cfeat, enc, enc_pack, noise_cols,
-                        layers, mlps, t1_folded=False):
-    """Packed decoder forward.  ``feat``/``cfeat``: unpacked [M, C].
+                        layers, mlps, t1_folded=False, w2=False):
+    """Packed decoder forward.  ``feat``/``cfeat``: unpacked [M, C] —
+    or already packed [Mq, P*C] in ``w2`` mode (packed samplers).
     Returns (sigma_cols [Mq, P], color_pack [Mq, P*Nc], residuals)."""
-    lt_, lo_, lc_, trunk_packed = layers
+    lt_, lo_, lc_, trunk_packed = (layers.lt, layers.lo, layers.lc,
+                                   layers.trunk_packed)
     (w_t, b_t, w_o, b_o, w_c, b_c) = mlps
     No = w_o[-1].shape[1]
+    if "nomlp" in ABLATE:
+        Nc = w_c[-1].shape[1]
+        if w2:
+            s = jnp.sum(feat, axis=1, keepdims=True) * 0.01
+            cols = [s for _ in range(pc.P)]
+        else:
+            cols = [jnp.sum(fq, axis=1, keepdims=True) * 0.01
+                    for fq in pc.pieces(feat)]
+        sigma_cols = pc.expand_cols(cols, 1)
+        color_pack = pc.expand_cols(cols, Nc) * 0.1
+        return sigma_cols, color_pack, (
+            [], [], [], sigma_cols, color_pack, feat, cfeat
+        )
     sv_t = []
     if cfg.color_grid_sizes is None:
         if t1_folded:
-            pre0 = feat + b_t[0]
-            x = jnp.maximum(pre0, 0.0)           # [M, H] unpacked
+            pre0 = feat + (layers.b0_pack if w2 else b_t[0])
+            x = jnp.maximum(pre0, 0.0)
             if lt_:
-                trunk, sv_t = _run_mlp_packed(pc, x, False, lt_,
+                trunk, sv_t = _run_mlp_packed(pc, x, w2, lt_,
                                               final_relu=True)
             else:
                 trunk = x
         elif lt_:
-            trunk, sv_t = _run_mlp_packed(pc, feat, False, lt_,
+            trunk, sv_t = _run_mlp_packed(pc, feat, w2, lt_,
                                           final_relu=True)
         else:
-            trunk = jnp.maximum(feat, 0.0)       # 0-layer trunk (unpacked)
+            trunk = jnp.maximum(feat, 0.0)       # 0-layer trunk
         if trunk_packed:
             x_o, x_c = trunk, trunk + enc_pack
         else:
             x_o, x_c = trunk, trunk + enc
     else:
         x_o = jnp.maximum(feat, 0.0)
-        x_c = jnp.maximum(cfeat, 0.0) + enc
+        x_c = jnp.maximum(cfeat, 0.0) + (enc_pack if w2 else enc)
     op_pre, sv_o = _run_mlp_packed(pc, x_o, trunk_packed, lo_)
     col_pre, sv_c = _run_mlp_packed(pc, x_c, trunk_packed, lc_)
     op_cols = jnp.dot(op_pre, pc.sel_col0(No),
@@ -1205,20 +1569,35 @@ def _decoder_fwd_packed(cfg, pc, feat, cfeat, enc, enc_pack, noise_cols,
     )
 
 
+def _w2_sample_all(samplers, ref):
+    out = None
+    for s in samplers:
+        t = s.sample(ref)
+        out = t if out is None else out + t
+    return out
+
+
 def _chunk_decoder_packed(cfg, pc, grid_ref, cgrid_ref, samplers,
                           csamplers, mask_m, cr, layers, mlps, ci, bw,
-                          pid, seed, t1_folded=False):
-    """Sample (unpacked) + packed decoder fw for one chunk."""
-    feat = _sample_samplers(samplers, grid_ref, mask_m)
-    cfeat = (
-        _sample_samplers(csamplers, cgrid_ref, mask_m)
-        if cgrid_ref is not None else None
-    )
+                          pid, seed, t1_folded=False, w2=False):
+    """Sample + packed decoder fw for one chunk.  In ``w2`` mode the
+    samplers emit packed [Mq, P*C] directly (OOB mask folded into the
+    stencils)."""
+    if w2:
+        feat = _w2_sample_all(samplers, grid_ref)
+        cfeat = (_w2_sample_all(csamplers, cgrid_ref)
+                 if cgrid_ref is not None else None)
+    else:
+        feat = _sample_samplers(samplers, grid_ref, mask_m)
+        cfeat = (
+            _sample_samplers(csamplers, cgrid_ref, mask_m)
+            if cgrid_ref is not None else None
+        )
     noise_cols = _noise_cols(cfg, cr, pc, ci, bw, pid, seed)
-    enc_pack = cr.enc_pack if layers[3] else None
+    enc_pack = cr.enc_pack if layers.trunk_packed else None
     sigma_cols, color_pack, res = _decoder_fwd_packed(
         cfg, pc, feat, cfeat, cr.enc, enc_pack, noise_cols, layers, mlps,
-        t1_folded,
+        t1_folded, w2,
     )
     return sigma_cols, color_pack, res, feat, cfeat
 
@@ -1246,18 +1625,19 @@ def _stack_k_cols(pc, ks, Kp):
     ]
 
 
-def _packed_layer_shapes(cfg, n_mlp):
+def _packed_layer_shapes(cfg, n_mlp, w2=False):
     """Static (K, N, packed) per layer, flattened trunk->op->col, matching
-    the bw scratch accumulators."""
+    the bw scratch accumulators.  In ``w2`` mode every layer is packed
+    (the sampler output already is)."""
     n_t, n_o, n_c = n_mlp
     has_cgrid = cfg.color_grid_sizes is not None
-    heads_unpacked = has_cgrid or n_t == 0
+    heads_unpacked = (has_cgrid or n_t == 0) and not w2
     dims_t = list(cfg.n_hidden_trunk)
     dims_o = list(cfg.n_hidden_opacity)
     dims_c = list(cfg.n_hidden_color)
     shapes = []
     for l in range(n_t):
-        shapes.append((dims_t[l], dims_t[l + 1], l > 0))
+        shapes.append((dims_t[l], dims_t[l + 1], w2 or l > 0))
     for l in range(n_o):
         shapes.append((dims_o[l], dims_o[l + 1],
                        not (l == 0 and heads_unpacked)))
@@ -1334,6 +1714,12 @@ def _chunk_geom(cfg, cr: _ChunkRays, ci, bw=False):
     (None unless masking is on) and ``noise_i1`` the [K*B, 1] noise
     index rows (None unless noise is on).
     """
+    if "nogeom" in ABLATE:
+        base = cr.t_all[:, 0:1] + ci * 1e-6
+        t_cols = [base + k * 1e-3 for k in range(cr.K)]
+        dv_cols = [base * 1e-2 for _ in range(cr.K)]
+        pts_ks = [cr.origins_b + tk * cr.dirs_b for tk in t_cols]
+        return t_cols, dv_cols, pts_ks, None, None
     S = cfg.tot_num_samples
     sel = _chunk_sel(cr, ci, bw)
     # Near-exact column extraction: the default TPU matmul rounds inputs
@@ -1425,19 +1811,22 @@ def _chunk_decoder(cfg, grid_ref, cgrid_ref, samplers, csamplers, mask_m,
 
 
 def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
-                     wmaps=None):
+                     wmaps=None, w2maps=None):
     n_t, n_o, n_c = n_mlp
     C_col = cfg.n_hidden_color[-1]
     has_cgrid = cfg.color_grid_sizes is not None
     windowed = wmaps is not None
     if windowed:
         main_idx, color_idx, n_wgrids = wmaps
+    w2 = w2maps is not None
+    if w2:
+        w2infos, w2_main_idx, w2_color_idx = w2maps
 
     def kernel(*refs):
         (o_ref, d_ref, near_ref, far_ref, gsel_ref, enc_ref,
          seed_ref) = refs[:7]
         rest = refs[7:]
-        if windowed:
+        if windowed or w2:
             w0_ref = rest[0]
             rest = rest[1:]
         if cfg.use_scaffold:
@@ -1490,13 +1879,13 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
         P = _pack_factor(cfg, K)
         if P > 1:
             pc = _PackCtx(P, K * B)
-            p_layers = _prep_decoder_packed(cfg, pc, mlps, t1_folded)
+            p_layers = _prep_decoder_packed(cfg, pc, mlps, t1_folded, w2)
             cr.enc_pack = (
                 _build_enc_pack(pc, cr.enc) if p_layers[3] else None
             )
             Kp = K // P
             Nc = w_c[-1].shape[1]
-            pc.warm(_packed_layer_shapes(cfg, n_mlp), Nc,
+            pc.warm(_packed_layer_shapes(cfg, n_mlp, w2), Nc,
                     w_o[-1].shape[1], enc.shape[1])
 
         def w0_of(ci, idx_map):
@@ -1513,23 +1902,39 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
             t_cols, dv_cols, pts_ks, mask_m, noise_i1 = _chunk_geom(
                 cfg, cr, ci,
             )
-            samplers = _make_samplers(cfg, infos, iotas_list, pts_ks,
-                                      cr.gsel, _cdt(cfg),
-                                      w0_of(ci, main_idx) if windowed
-                                      else None)
-            csamplers = (
-                _make_samplers(cfg, cinfos, ciotas_list, pts_ks, cr.gsel,
-                               _cdt(cfg),
-                               w0_of(ci, color_idx) if windowed else None)
-                if has_cgrid else None
-            )
+            if w2:
+                samplers, csamplers = _make_w2_samplers(
+                    cfg, pc, infos, cinfos, iotas_list, ciotas_list,
+                    w2infos, w2_main_idx, w2_color_idx, pts_ks, cr.gsel,
+                    mask_m, w0_ref, pid, ci, Kp, B,
+                )
+            else:
+                samplers = _make_samplers(cfg, infos, iotas_list, pts_ks,
+                                          cr.gsel, _cdt(cfg),
+                                          w0_of(ci, main_idx) if windowed
+                                          else None)
+                csamplers = (
+                    _make_samplers(cfg, cinfos, ciotas_list, pts_ks,
+                                   cr.gsel, _cdt(cfg),
+                                   w0_of(ci, color_idx) if windowed
+                                   else None)
+                    if has_cgrid else None
+                )
             gates = _chunk_gates(gate_ref, ci, K, S, bw=False)
             if P > 1:
                 sigma_cols, color_pack, _, _, _ = _chunk_decoder_packed(
                     cfg, pc, grid_ref, cgrid_ref, samplers, csamplers,
                     mask_m, cr, p_layers, mlps, ci, False, pid, seed,
-                    t1_folded,
+                    t1_folded, w2,
                 )
+                if "noea" in ABLATE:
+                    nlt = nlt + jnp.sum(sigma_cols, axis=1,
+                                        keepdims=True)[:B]
+                    depth_acc = depth_acc + nlt * t_cols[0]
+                    feat_acc = feat_acc + jnp.dot(
+                        color_pack, pc.reduce(Nc),
+                        preferred_element_type=jnp.float32)[:B]
+                    return (nlt, depth_acc, feat_acc)
                 sig_q = _bk_cols(sigma_cols)
                 w_ks = []
                 T_carry = jnp.exp(-nlt)   # one exp per step, carried
@@ -1633,14 +2038,27 @@ def _pad_rays_to_block(arrs, R, B, mode="edge"):
     ], R + n_pad
 
 
-def _ray_inputs(cfg, geom, rays_encoding):
+def _ray_block(cfg):
+    """Per-call ray block size: the packed 2D-window path needs one
+    image tile per block (256 rays with the default 8x32 tiles);
+    everything else uses the default block."""
+    K = _march_chunk(cfg)
+    infos = grid_infos(cfg.grid_sizes)
+    cinfos = (grid_infos(cfg.color_grid_sizes)
+              if cfg.color_grid_sizes is not None else ())
+    if _w2_available(cfg, infos, cinfos, _pack_factor(cfg, K)):
+        return 256
+    return RAY_BLOCK
+
+
+def _ray_inputs(cfg, geom, rays_encoding, B):
     directions, origins, near, far, grid_idx, _scaffold, noise_seed = geom
     R = directions.shape[0]
     arrs = [
         origins, directions, near[:, None], far[:, None],
         grid_idx[:, None].astype(jnp.int32), rays_encoding,
     ]
-    arrs, R_pad = _pad_rays_to_block(arrs, R, RAY_BLOCK)
+    arrs, R_pad = _pad_rays_to_block(arrs, R, B)
     seed = jnp.asarray(noise_seed, jnp.int32).reshape(1, 1)
     return arrs, seed, R, R_pad
 
@@ -1695,8 +2113,9 @@ def pallas_render_fwd(cfg, geom, diff):
     w_o = all_w[len(w_t): len(w_t) + len(w_o)]
     w_c = all_w[len(w_t) + len(w_o):]
 
-    arrs, seed, R, R_pad = _ray_inputs(cfg, geom, rays_encoding)
-    n_blocks = R_pad // RAY_BLOCK
+    RB = _ray_block(cfg)
+    arrs, seed, R, R_pad = _ray_inputs(cfg, geom, rays_encoding, RB)
+    n_blocks = R_pad // RB
 
     gate_base = _scaffold_gate_base(cfg, geom, R_pad)
     gates = []
@@ -1704,12 +2123,12 @@ def pallas_render_fwd(cfg, geom, diff):
     if gate_base is not None:
         gates = [gate_base]
         gate_specs = [pl.BlockSpec(
-            (RAY_BLOCK, gate_base.shape[1]), lambda b: (b, 0),
+            (RB, gate_base.shape[1]), lambda b: (b, 0),
             memory_space=pltpu.VMEM,
         )]
 
     ray_specs = [
-        pl.BlockSpec((RAY_BLOCK, a.shape[1]), lambda b: (b, 0),
+        pl.BlockSpec((RB, a.shape[1]), lambda b: (b, 0),
                      memory_space=pltpu.VMEM)
         for a in arrs
     ]
@@ -1736,11 +2155,11 @@ def pallas_render_fwd(cfg, geom, diff):
         jax.ShapeDtypeStruct((R_pad, C_col), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((RAY_BLOCK, 1), lambda b: (b, 0),
+        pl.BlockSpec((RB, 1), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((RAY_BLOCK, 1), lambda b: (b, 0),
+        pl.BlockSpec((RB, 1), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((RAY_BLOCK, C_col), lambda b: (b, 0),
+        pl.BlockSpec((RB, C_col), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
     ]
 
@@ -1767,16 +2186,14 @@ def pallas_render_fwd(cfg, geom, diff):
     origins_p, dirs_p = arrs[0], arrs[1]
     near_p, far_p = arrs[2][:, 0], arrs[3][:, 0]
     w0, fits_all = _window_plan(
-        cfg, origins_p, dirs_p, near_p, far_p, K, False, winfos
+        cfg, origins_p, dirs_p, near_p, far_p, K, False, winfos, RB
     )
 
-    def call_windowed():
-        kernel = _build_fw_kernel(
-            cfg, infos, cinfos, n_mlp, t1_folded,
-            wmaps=(main_idx, color_idx, len(winfos)),
-        )
+    def call_with_table(table, **bkw):
+        kernel = _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded,
+                                  **bkw)
         w0_spec = pl.BlockSpec(
-            (8, w0.shape[1]), lambda b: (b // 8, 0),
+            (8, table.shape[1]), lambda b: (b // 8, 0),
             memory_space=pltpu.SMEM,
         )
         return pl.pallas_call(
@@ -1787,10 +2204,24 @@ def pallas_render_fwd(cfg, geom, diff):
             out_shape=out_shape,
             interpret=INTERPRET,
             compiler_params=_COMPILER_PARAMS,
-        )(*(inputs[:7] + [w0] + inputs[7:]))
+        )(*(inputs[:7] + [table] + inputs[7:]))
 
+    def call_windowed():
+        return call_with_table(
+            w0, wmaps=(main_idx, color_idx, len(winfos)))
+
+    fallback = lambda: jax.lax.cond(fits_all, call_windowed, call_general)
+
+    w2maps = _w2_grid_maps(cfg, infos, cinfos)
+    if not _w2_available(cfg, infos, cinfos, _pack_factor(cfg, K)):
+        depth, nlt, feat = fallback()
+        return depth[:R, 0], nlt[:R, 0], feat[:R]
+
+    w0_2, fits2 = _w2_plan(
+        cfg, origins_p, dirs_p, near_p, far_p, K, False, w2maps[0], RB,
+    )
     depth, nlt, feat = jax.lax.cond(
-        fits_all, call_windowed, call_general
+        fits2, lambda: call_with_table(w0_2, w2maps=w2maps), fallback
     )
     return depth[:R, 0], nlt[:R, 0], feat[:R]
 
@@ -1800,14 +2231,17 @@ def pallas_render_fwd(cfg, geom, diff):
 # ---------------------------------------------------------------------------
 
 
-def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
+def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None):
     n_t, n_o, n_c = n_mlp
     C_col = cfg.n_hidden_color[-1]
     has_cgrid = cfg.color_grid_sizes is not None
     windowed = wmaps is not None
     if windowed:
         main_idx, color_idx, n_wgrids = wmaps
-    K_bw = _march_chunk(cfg, bw=True, windowed=windowed)
+    w2 = w2maps is not None
+    if w2:
+        w2infos, w2_main_idx, w2_color_idx = w2maps
+    K_bw = _march_chunk(cfg, bw=True, windowed=windowed or w2)
     P_bw = _pack_factor(cfg, K_bw)
     n_scr = 2 * (n_t + n_o + n_c) if P_bw > 1 else 0
 
@@ -1822,7 +2256,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
         (o_ref, d_ref, near_ref, far_ref, gsel_ref, enc_ref, nltf_ref,
          gdepth_ref, gnlt_ref, gfeat_ref, seed_ref) = refs[:11]
         rest = refs[11:]
-        if windowed:
+        if windowed or w2:
             w0_ref = rest[0]
             rest = rest[1:]
         if cfg.use_scaffold:
@@ -1883,7 +2317,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
         )  # see fw kernel: padded rays replicate the last real ray
         S = cfg.tot_num_samples
 
-        K = _march_chunk(cfg, bw=True, windowed=windowed)
+        K = K_bw
         n_chunks = (S + K - 1) // K
         cr = _ChunkRays(cfg, K, origins, dirs, near, far, gsel, enc,
                         ray_ids)
@@ -1894,7 +2328,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
         P = P_bw
         if P > 1:
             pc = _PackCtx(P, K * B)
-            p_layers = _prep_decoder_packed(cfg, pc, mlps, False)
+            p_layers = _prep_decoder_packed(cfg, pc, mlps, False, w2)
             trunk_packed = p_layers[3]
             cr.enc_pack = (
                 _build_enc_pack(pc, cr.enc) if trunk_packed else None
@@ -1916,7 +2350,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
             scr_t = scr_pairs[:n_t]
             scr_o = scr_pairs[n_t: n_t + n_o]
             scr_c = scr_pairs[n_t + n_o:]
-            pc.warm(_packed_layer_shapes(cfg, n_mlp), Nc, No, He)
+            pc.warm(_packed_layer_shapes(cfg, n_mlp, w2), Nc, No, He)
 
         def w0_of(ci, idx_map):
             if not windowed:
@@ -1937,22 +2371,31 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
             # ---- batched recompute of the forward decoder ----
             # samplers built ONCE per chunk: shared by the sample here and
             # the gradient splat below (window position + stencils reused)
-            samplers = _make_samplers(cfg, infos, iotas_list, pts_ks,
-                                      cr.gsel, cdt,
-                                      w0_of(ci, main_idx) if windowed
-                                      else None)
-            csamplers = (
-                _make_samplers(cfg, cinfos, ciotas_list, pts_ks, cr.gsel,
-                               cdt,
-                               w0_of(ci, color_idx) if windowed else None)
-                if has_cgrid else None
-            )
+            if w2:
+                samplers, csamplers = _make_w2_samplers(
+                    cfg, pc, infos, cinfos, iotas_list, ciotas_list,
+                    w2infos, w2_main_idx, w2_color_idx, pts_ks, cr.gsel,
+                    mask_m, w0_ref, pid, ci, Kp, B,
+                )
+            else:
+                samplers = _make_samplers(cfg, infos, iotas_list, pts_ks,
+                                          cr.gsel, cdt,
+                                          w0_of(ci, main_idx) if windowed
+                                          else None)
+                csamplers = (
+                    _make_samplers(cfg, cinfos, ciotas_list, pts_ks,
+                                   cr.gsel, cdt,
+                                   w0_of(ci, color_idx) if windowed
+                                   else None)
+                    if has_cgrid else None
+                )
             gates = _chunk_gates(gate_ref, ci, K, S, bw=True)
             if P > 1:
                 sigma_cols, color_pack, res, feat, cfeat = (
                     _chunk_decoder_packed(
                         cfg, pc, grid_ref, cgrid_ref, samplers, csamplers,
                         mask_m, cr, p_layers, mlps, s_hi, True, pid, seed,
+                        False, w2,
                     )
                 )
                 sv_t, sv_o, sv_c, op_cols, _, _, _ = res
@@ -1988,6 +2431,15 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
                     w_ks.append(w if gk is None else w * gk)
                     suffix = suffix + g_w * w
                 # ---- packed decoder backward ----
+                if "nomlpbwd" in ABLATE and not w2:
+                    gcols = _stack_k_cols(pc, g_sig_ks, Kp)
+                    g_pieces = [
+                        jnp.zeros_like(fq) + gcols[q]
+                        for q, fq in enumerate(pc.pieces(feat))
+                    ]
+                    _splat_samplers_pieces(pc, samplers, ggrid_ref,
+                                           mask_m, g_pieces)
+                    return (nlt_run, suffix, genc_acc)
                 g_op_cols = pc.expand_cols(
                     _stack_k_cols(pc, g_sig_ks, Kp), 1,
                 )                                     # [Mq, P]
@@ -2002,6 +2454,34 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
                                               scr_c)
                 g_ot_in = _run_mlp_bwd_packed(pc, g_op_pack, sv_o, lo_,
                                               scr_o)
+                if w2:
+                    # fully-packed tail: cotangents stay [Mq, P*C]
+                    if not has_cgrid:
+                        g_trunk = g_ct_in + g_ot_in
+                        if lt_:
+                            g_main = _run_mlp_bwd_packed(
+                                pc, g_trunk, sv_t, lt_, scr_t,
+                                final_relu=True,
+                            )
+                        else:
+                            g_main = g_trunk * (feat > 0.0).astype(
+                                jnp.float32)
+                        g_cgrad = None
+                    else:
+                        g_main = g_ot_in * (feat > 0.0).astype(
+                            jnp.float32)
+                        g_cgrad = g_ct_in * (cfeat > 0.0).astype(
+                            jnp.float32)
+                    genc_red = jnp.dot(g_ct_in, pc.reduce(He),
+                                       preferred_element_type=jnp.float32)
+                    for j in range(Kp):
+                        genc_acc = genc_acc + genc_red[j * B: (j + 1) * B]
+                    for s in samplers:
+                        s.splat_accum(ggrid_ref, g_main)
+                    if has_cgrid:
+                        for s in csamplers:
+                            s.splat_accum(gcgrid_ref, g_cgrad)
+                    return (nlt_run, suffix, genc_acc)
                 if not has_cgrid:
                     if trunk_packed:
                         g_trunk = g_ct_in + g_ot_in
@@ -2187,22 +2667,22 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None):
                 + gmlp_refs[2 * (n_t + n_o) + n_c:]
             )
             _flush_packed_scratch(
-                pc, scr_pairs, _packed_layer_shapes(cfg, n_mlp),
+                pc, scr_pairs, _packed_layer_shapes(cfg, n_mlp, w2),
                 w_refs, b_refs,
             )
 
     return kernel
 
 
-def _bw_scratch_shapes(cfg, n_mlp, windowed):
+def _bw_scratch_shapes(cfg, n_mlp, windowed, w2=False):
     """VMEM scratch accumulators for the packed bw path (empty if the
     unpacked path runs)."""
-    K = _march_chunk(cfg, bw=True, windowed=windowed)
+    K = _march_chunk(cfg, bw=True, windowed=windowed or w2)
     P = _pack_factor(cfg, K)
     if P <= 1:
         return []
     shapes = []
-    for (Kd, Nd, packed) in _packed_layer_shapes(cfg, n_mlp):
+    for (Kd, Nd, packed) in _packed_layer_shapes(cfg, n_mlp, w2):
         f = P if packed else 1
         shapes.append(pltpu.VMEM((f * Kd, f * Nd), jnp.float32))
         shapes.append(pltpu.VMEM((1, f * Nd), jnp.float32))
@@ -2230,17 +2710,18 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
     w_c = all_w[len(w_t) + len(w_o):]
     grid_flat, color_grid_flat = grid_flat_c, color_grid_flat_c
 
-    arrs, seed, R, R_pad = _ray_inputs(cfg, geom, rays_encoding)
+    RB = _ray_block(cfg)
+    arrs, seed, R, R_pad = _ray_inputs(cfg, geom, rays_encoding, RB)
     # Padded rays are edge-replicas of the last real ray (coherent blocks
     # for the window planner), so their nlt must be the replica's real
     # value — rewinding a zero nlt against real geometry overflows
     # exp(-nlt_prev) at disparity-background step sizes.  Their gradient
     # contribution is killed by zero-padded cotangents instead.
-    nltf_p, _ = _pad_rays_to_block([nlt_final[:, None]], R, RAY_BLOCK)
+    nltf_p, _ = _pad_rays_to_block([nlt_final[:, None]], R, RB)
     extra = [g_depth[:, None], g_nlt[:, None], g_feat]
-    extra, _ = _pad_rays_to_block(extra, R, RAY_BLOCK, mode="constant")
+    extra, _ = _pad_rays_to_block(extra, R, RB, mode="constant")
     arrs = arrs + nltf_p + extra
-    n_blocks = R_pad // RAY_BLOCK
+    n_blocks = R_pad // RB
 
     gate_base = _scaffold_gate_base(cfg, geom, R_pad)
 
@@ -2249,13 +2730,13 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         if gate_base is None:
             return [], []
         spec = pl.BlockSpec(
-            (RAY_BLOCK, gate_base.shape[1]), lambda b: (b, 0),
+            (RB, gate_base.shape[1]), lambda b: (b, 0),
             memory_space=pltpu.VMEM,
         )
         return [gate_base], [spec]
 
     ray_specs = [
-        pl.BlockSpec((RAY_BLOCK, a.shape[1]), lambda b: (b, 0),
+        pl.BlockSpec((RB, a.shape[1]), lambda b: (b, 0),
                      memory_space=pltpu.VMEM)
         for a in arrs
     ]
@@ -2289,7 +2770,7 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         jax.ShapeDtypeStruct((R_pad, rays_encoding.shape[1]), jnp.float32)
     )
     out_specs.append(
-        pl.BlockSpec((RAY_BLOCK, rays_encoding.shape[1]), lambda b: (b, 0),
+        pl.BlockSpec((RB, rays_encoding.shape[1]), lambda b: (b, 0),
                      memory_space=pltpu.VMEM)
     )
 
@@ -2314,16 +2795,13 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         K = _march_chunk(cfg, bw=True, windowed=True)
         w0, fits_all = _window_plan(
             cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], K, True,
-            winfos,
+            winfos, RB,
         )
 
-        def call_windowed():
-            kernel = _build_bw_kernel(
-                cfg, infos, cinfos, n_mlp,
-                wmaps=(main_idx, color_idx, len(winfos)),
-            )
+        def call_with_table(table, w2_mode, **bkw):
+            kernel = _build_bw_kernel(cfg, infos, cinfos, n_mlp, **bkw)
             w0_spec = pl.BlockSpec(
-                (8, w0.shape[1]), lambda b: (b // 8, 0),
+                (8, table.shape[1]), lambda b: (b // 8, 0),
                 memory_space=pltpu.SMEM,
             )
             g_in, g_specs = gate_io(
@@ -2336,12 +2814,32 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
                 + in_specs[11:],
                 out_specs=out_specs,
                 out_shape=out_shape,
-                scratch_shapes=_bw_scratch_shapes(cfg, n_mlp, True),
+                scratch_shapes=_bw_scratch_shapes(cfg, n_mlp, True,
+                                                  w2_mode),
                 interpret=INTERPRET,
                 compiler_params=_COMPILER_PARAMS,
-            )(*(inputs[:11] + [w0] + g_in + inputs[11:]))
+            )(*(inputs[:11] + [table] + g_in + inputs[11:]))
 
-        outs = jax.lax.cond(fits_all, call_windowed, call_general)
+        def call_windowed():
+            return call_with_table(
+                w0, False, wmaps=(main_idx, color_idx, len(winfos)))
+
+        def fallback():
+            return jax.lax.cond(fits_all, call_windowed, call_general)
+
+        w2maps = _w2_grid_maps(cfg, infos, cinfos)
+        if _w2_available(cfg, infos, cinfos, _pack_factor(cfg, K)):
+            w0_2, fits2 = _w2_plan(
+                cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], K,
+                True, w2maps[0], RB,
+            )
+            outs = jax.lax.cond(
+                fits2,
+                lambda: call_with_table(w0_2, True, w2maps=w2maps),
+                fallback,
+            )
+        else:
+            outs = fallback()
 
     outs = list(outs)
     g_grid = outs.pop(0)

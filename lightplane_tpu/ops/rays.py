@@ -155,3 +155,33 @@ def _validate_rays(directions, origins, grid_idx, near, far, encoding):
         )
     if encoding is not None:
         assert encoding.ndim == 2 and encoding.shape[0] == n_rays
+
+
+def tile_ray_order(height: int, width: int, tile=(8, 32)):
+    """Permutation putting the rays of an image in tile-major order.
+
+    The fused renderer's windowed fast paths need each ray block to be
+    spatially coherent; raster order makes a block span the full image
+    width.  Reordering rays into ``tile`` (rows x cols) pixel tiles (the
+    default matches the kernel's 256-ray blocks) keeps every block inside
+    a small frustum, enabling the packed 2D-window kernels.
+
+    Returns ``(order, inverse)`` index arrays: render with
+    ``rays[order]`` and scatter outputs back with ``out[inverse]``.
+    Falls back to the identity when the tile does not divide the image.
+    """
+    import numpy as np
+
+    th, tw = tile
+    n = height * width
+    if height % th or width % tw:
+        idx = np.arange(n)
+        return idx, idx
+    idx = np.arange(n).reshape(height, width)
+    order = (
+        idx.reshape(height // th, th, width // tw, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1)
+    )
+    inverse = np.argsort(order)
+    return order, inverse

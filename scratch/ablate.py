@@ -42,9 +42,6 @@ def run(tag, ablate, grad=True):
     print(f"{tag:34s} {dt*1e3:7.2f} ms", flush=True)
 
 run("fw noea", ("noea",), grad=False)
-run("fwbw full", ())
-run("fwbw nosplat", ("nosplat",))
-run("fwbw nomlpbwd", ("nomlpbwd",))
-run("fwbw nomlpbwd+nosplat", ("nomlpbwd", "nosplat"))
-run("fwbw noeaadj", ("noeaadj",))
-run("fwbw nomlp+nomlpbwd", ("nomlp", "nomlpbwd"))
+run("fw nogeom", ("nogeom",), grad=False)
+run("fw nosample", ("nosample",), grad=False)
+run("fwbw nogeom", ("nogeom",))

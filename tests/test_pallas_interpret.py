@@ -136,6 +136,69 @@ def test_pallas_windowed_sampling_coherent_rays():
         compare_one(a, b, f"win/grad_{nm}")
 
 
+def test_pallas_w2_packed_windows(monkeypatch):
+    """The packed 2D-window path (tile-ordered rays, 32-cell windows,
+    P=4 samples per 128-lane row) vs the scan implementation — and the
+    runtime fit check must actually select it (not a silent fallback)."""
+    H, W = 16, 64
+    n = H * W
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    dp = lt.init_decoder_params(
+        k1, n_layers_opacity=2, n_layers_trunk=2, n_layers_color=2,
+        input_chn=32, hidden_chn=32, color_chn=3, opacity_init_bias=-2.0)
+    grid = [
+        jax.random.normal(k2, (1, 1, 32, 32, 32)) * 0.1,
+        jax.random.normal(k3, (1, 32, 1, 32, 32)) * 0.1,
+        jax.random.normal(k4, (1, 32, 32, 1, 32)) * 0.1,
+    ]
+    ys, xs = jnp.meshgrid(
+        jnp.linspace(-0.05, 0.05, H), jnp.linspace(-0.1, 0.1, W),
+        indexing="ij",
+    )
+    dirs = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(n)], -1)
+    order, _ = lt.tile_ray_order(H, W)
+    rays = lt.Rays(
+        directions=dirs[order],
+        origins=jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (n, 1)),
+        grid_idx=jnp.zeros((n,), jnp.int32),
+        near=jnp.full((n,), 1.5),
+        far=jnp.full((n,), 2.5),
+        encoding=jax.random.normal(k5, (n, 32)) * 0.1,
+    )
+    fits_seen = {}
+    orig_plan = rp._w2_plan
+
+    def spy(*a, **kw):
+        w0, fits = orig_plan(*a, **kw)
+        fits_seen["fits"] = fits
+        return w0, fits
+
+    monkeypatch.setattr(rp, "_w2_plan", spy)
+
+    def loss(impl, g0, mp, enc):
+        r = dataclasses.replace(rays, encoding=enc)
+        d = dataclasses.replace(dp, mlp_params=mp)
+        out = lt.lightplane_renderer(
+            r, [g0] + list(grid[1:]), d, num_samples=96, gain=1.0,
+            impl=impl, mask_out_of_bounds_samples=True,
+        )
+        return sum(jnp.sum(o * (i + 1)) for i, o in enumerate(out)), out
+
+    args = (grid[0], dp.mlp_params, rays.encoding)
+    (_, out_s), g_s = jax.value_and_grad(
+        lambda *a: loss("scan", *a), argnums=(0, 1, 2), has_aux=True
+    )(*args)
+    (_, out_p), g_p = jax.value_and_grad(
+        lambda *a: loss("pallas", *a), argnums=(0, 1, 2), has_aux=True
+    )(*args)
+    assert bool(fits_seen["fits"]), "W2 windows unexpectedly did not fit"
+    for nm, a, b in zip(["depth", "nlt", "feat"], out_s, out_p):
+        compare_one(a, b, f"w2/{nm}")
+    for nm, a, b in zip(["g_grid", "g_mlp", "g_enc"], g_s, g_p):
+        compare_one(a, b, f"w2/grad_{nm}")
+
+
 @pytest.mark.parametrize("use_mlp", [False, True])
 def test_pallas_splatter_matches_scan(use_mlp):
     """Pallas splatter (fw + grads) vs the scan implementation, with a
