@@ -62,9 +62,9 @@ RAY_BLOCK = 512
 # it uses a smaller chunk to fit the VMEM stack.
 MARCH_CHUNK = 8
 MARCH_CHUNK_BW = 4
-# the windowed bw variant keeps far smaller stencils live, so it can
+# the windowed bw variants keep far smaller stencils live, so they can
 # afford a bigger chunk (separate from the general fallback's)
-MARCH_CHUNK_BW_WIN = 8
+MARCH_CHUNK_BW_WIN = 16
 # Head-MLP block-diagonal packing (see _pack_heads): measured SLOWER on
 # v5e than separate skinny matmuls — the per-chunk [M, Ko+Kc] concatenates
 # cost more VPU than the saved MXU passes.  Kept for experimentation.

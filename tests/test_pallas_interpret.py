@@ -180,7 +180,7 @@ def test_pallas_w2_packed_windows(monkeypatch):
         r = dataclasses.replace(rays, encoding=enc)
         d = dataclasses.replace(dp, mlp_params=mp)
         out = lt.lightplane_renderer(
-            r, [g0] + list(grid[1:]), d, num_samples=96, gain=1.0,
+            r, [g0] + list(grid[1:]), d, num_samples=128, gain=1.0,
             impl=impl, mask_out_of_bounds_samples=True,
         )
         return sum(jnp.sum(o * (i + 1)) for i, o in enumerate(out)), out
