@@ -760,16 +760,13 @@ class _W2Sampler:
                 rows.append(ref[pl.ds(base + ry * self.S_c, W2_COLS), :])
             g_win = (rows[0] if W2_ROWS == 1
                      else jnp.concatenate(rows, axis=0))   # [32, C]
-            blk = None
-            for q in range(pc.P):
-                t = jnp.dot(
-                    pc.unplace(_w2_cells(), q),
-                    jnp.dot(g_win, pc.place(C, q),
-                            preferred_element_type=jnp.float32),
-                    preferred_element_type=jnp.float32,
-                )
-                blk = t if blk is None else blk + t
-            self._gblk = blk                               # [128, P*C]
+            # block-diagonal form via lane placement + sublane concat
+            # (row placement is free as a concatenation)
+            self._gblk = jnp.concatenate([
+                jnp.dot(g_win, pc.place(C, q),
+                        preferred_element_type=jnp.float32)
+                for q in range(pc.P)
+            ], axis=0)                                     # [128, P*C]
         return self._gblk
 
     def sample(self, ref):
@@ -783,11 +780,13 @@ class _W2Sampler:
             self._stencil(), dval_pack, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                  # [128, P*C]
+        # diagonal blocks: row slices are free; one lane-unplace matmul
+        # per block extracts (q, q)
+        cells = _w2_cells()
         diag = None
         for q in range(pc.P):
             t = jnp.dot(
-                jnp.dot(pc.place(_w2_cells(), q), blk,
-                        preferred_element_type=jnp.float32),
+                blk[q * cells: (q + 1) * cells],
                 pc.unplace(C, q),
                 preferred_element_type=jnp.float32,
             )
