@@ -240,8 +240,12 @@ def main(argv=None):
 
     def eval_and_checkpoint(step, params, scaffold, num_samples):
         o, d, img_gt = ds.image(0)
+        # tile-major ray order: spatially-coherent blocks enable the fused
+        # renderer's packed 2D-window fast path; outputs are scattered
+        # back to raster order with the inverse permutation
+        order, inv = lt.tile_ray_order(ds.height, ds.width)
         rays = lt.Rays(
-            directions=jnp.asarray(d), origins=jnp.asarray(o),
+            directions=jnp.asarray(d)[order], origins=jnp.asarray(o)[order],
             grid_idx=jnp.zeros((o.shape[0],), jnp.int32),
             near=jnp.full((o.shape[0],), ds.near, jnp.float32),
             far=jnp.full((o.shape[0],), ds.far, jnp.float32),
@@ -250,9 +254,9 @@ def main(argv=None):
             render_with, static_argnames=("num_samples",)
         )(params, rays, scaffold, num_samples)
         rgb_img = np.clip(
-            np.asarray(rgb).reshape(ds.height, ds.width, 3), 0.0, 1.0
+            np.asarray(rgb)[inv].reshape(ds.height, ds.width, 3), 0.0, 1.0
         )
-        depth_img = np.asarray(depth).reshape(ds.height, ds.width)
+        depth_img = np.asarray(depth)[inv].reshape(ds.height, ds.width)
         psnr = float(calc_psnr(jnp.asarray(rgb_img), jnp.asarray(img_gt)))
         ssim = float(calc_ssim(jnp.asarray(rgb_img), jnp.asarray(img_gt)))
         save_image(
