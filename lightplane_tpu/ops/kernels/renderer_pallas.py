@@ -83,6 +83,14 @@ ABLATE = frozenset()
 # benchmark-size triplanes.  v5e/v5p have 128 MiB VMEM per core; leave
 # headroom for the pipelined input/output blocks.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# fw programs are independent over ray blocks: declaring the grid parallel
+# lets Mosaic schedule blocks across TensorCores (v4/v5p megacore) and
+# relaxes cross-program ordering.  The bw kernels revisit shared gradient
+# output blocks and MUST stay sequential ("arbitrary", the default).
+_COMPILER_PARAMS_FW = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024,
+    dimension_semantics=("parallel",),
+)
 
 def _cdt(cfg):
     """The kernel's matmul input dtype from cfg (default float32)."""
@@ -2173,7 +2181,7 @@ def pallas_render_fwd(cfg, geom, diff):
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=INTERPRET,
-            compiler_params=_COMPILER_PARAMS,
+            compiler_params=_COMPILER_PARAMS_FW,
         )(*inputs)
 
     winfos, main_idx, color_idx = _windowable_infos(cfg, infos, cinfos)
@@ -2202,7 +2210,7 @@ def pallas_render_fwd(cfg, geom, diff):
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=INTERPRET,
-            compiler_params=_COMPILER_PARAMS,
+            compiler_params=_COMPILER_PARAMS_FW,
         )(*(inputs[:7] + [table] + inputs[7:]))
 
     def call_windowed():
