@@ -34,6 +34,7 @@ from ..ops.rays import (
     calc_harmonic_embedding,
     calc_harmonic_embedding_dim,
     jitter_near_far,
+    tile_ray_order,
 )
 
 
@@ -313,9 +314,20 @@ class LightplaneRenderer(nn.Module):
         inject_noise_seed: Optional[int] = None,
         rays_jitter_near_far: Optional[bool] = None,
         return_log_transmittance: Optional[bool] = None,
+        image_size: Optional[Tuple[int, int]] = None,
     ):
         """Render; returns ``(ray_length, alpha, feature_render)``
-        (reference ``renderer_module.py:419-563``)."""
+        (reference ``renderer_module.py:419-563``).
+
+        ``image_size=(height, width)``: declares that ``rays`` are the
+        raster-order pixels of one image.  The module then internally
+        permutes them into spatially-coherent pixel tiles
+        (:func:`tile_ray_order`) before the fused kernel call and
+        inverse-scatters the per-ray outputs, so raster-order callers get
+        the packed windowed fast paths without changing their data layout
+        (outputs stay in the input order).  TPU-only extension — the
+        reference's 16-ray CUDA blocks have no such layout sensitivity.
+        """
         num_samples = if_not_none_else(num_samples, self.num_samples)
         gain = if_not_none_else(gain, self.gain)
         num_samples_inf = if_not_none_else(
@@ -361,6 +373,19 @@ class LightplaneRenderer(nn.Module):
             rays, near=near, far=far, encoding=encoding
         )
 
+        inv = None
+        if image_size is not None and not self.use_naive_impl:
+            h, w = image_size
+            n_rays = rays_p.directions.shape[0]
+            assert n_rays == h * w, (
+                f"image_size {image_size} does not match the ray count "
+                f"({n_rays} != {h * w})"
+            )
+            order_np, inv_np = tile_ray_order(h, w)
+            if not np.array_equal(order_np, np.arange(n_rays)):
+                inv = jnp.asarray(inv_np)
+                rays_p = rays_p[jnp.asarray(order_np)]
+
         if inject_noise_sigma > 0.0 and inject_noise_seed is None:
             inject_noise_seed = int(
                 jax.random.randint(self.make_rng("noise"), (), 0, 1000000)
@@ -390,6 +415,11 @@ class LightplaneRenderer(nn.Module):
                 color_grid_sizes=color_grid_sizes,
             )
         )
+
+        if inv is not None:
+            ray_length_render = ray_length_render[inv]
+            negative_log_transmittance = negative_log_transmittance[inv]
+            feature_render = feature_render[inv]
 
         inverted_mask = jnp.exp(-negative_log_transmittance)
         feature_render = feature_render + inverted_mask[..., None] * bg_color

@@ -64,6 +64,31 @@ def test_renderer_module_naive_matches_fused():
         )
 
 
+def test_renderer_module_image_size_reorder():
+    """image_size= internally tile-reorders rays; per-ray outputs must come
+    back in the caller's raster order (rays are independent, so results
+    match the unordered call exactly up to float associativity)."""
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    h, w = 16, 32  # divisible by the 8x32 tile -> a real permutation
+    rays = _rays(k1, h * w)
+    grid = random_grid(k2, 1, 8, 5, "triplane")
+    m = lt.LightplaneRenderer(
+        num_samples=5, color_chn=3, grid_chn=8, mlp_hidden_chn=8,
+        opacity_init_bias=-2.0,
+    )
+    variables = m.init(k3, rays, grid)
+    out_plain = m.apply(variables, rays, grid)
+    out_tiled = m.apply(variables, rays, grid, image_size=(h, w))
+    for a, b in zip(out_plain, out_tiled):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        )
+    # mismatched ray count is rejected
+    with pytest.raises(AssertionError):
+        m.apply(variables, rays, grid, image_size=(h, w + 1))
+
+
 def test_renderer_module_log_transmittance_and_overrides():
     key = jax.random.PRNGKey(2)
     k1, k2, k3 = jax.random.split(key, 3)
