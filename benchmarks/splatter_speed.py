@@ -51,8 +51,15 @@ def make_rays(key, n_views, view_res, chn):
 
 
 def bench_one(impl, n_views, view_res=128, grid_res=160, chn=64,
-              num_samples=96, n_reps=3):
+              num_samples=96, n_reps=3, shuffle=False):
     rays = make_rays(jax.random.PRNGKey(0), n_views, view_res, chn)
+    if shuffle:
+        # destroy raster coherence: the boxed-DMA planner's fit flag fails
+        # and the runtime falls back to the order-independent sorted kernel
+        import numpy as np
+
+        perm = np.random.default_rng(0).permutation(rays.directions.shape[0])
+        rays = jax.tree_util.tree_map(lambda a: a[perm], rays)
     sizes = [(1, grid_res, grid_res, grid_res, chn)]
 
     def fwd(enc):
@@ -85,6 +92,7 @@ def main():
     p.add_argument("--impls", type=str, nargs="*", default=["auto"])
     p.add_argument("--grid_res", type=int, default=160)
     p.add_argument("--channels", type=int, default=64)
+    p.add_argument("--shuffle", action="store_true")
     args = p.parse_args()
 
     print("STATS,impl,n_views,n_rays,t_fw_ms,t_fwbw_ms,rays_per_s_fwbw,"
@@ -94,7 +102,7 @@ def main():
             n = v * 128 * 128
             try:
                 r = bench_one(impl, v, grid_res=args.grid_res,
-                              chn=args.channels)
+                              chn=args.channels, shuffle=args.shuffle)
             except Exception as e:
                 print(f"STATS,{impl},{v},{n},ERROR,{type(e).__name__},,")
                 continue

@@ -1,0 +1,538 @@
+"""Sorted-splat Pallas kernels: big-grid splatting for arbitrary ray order.
+
+The boxed-DMA splatter (``splatter_big.py``) needs spatially-coherent ray
+*blocks* — each (ray-block, chunk) must fit a small DMA box, which random
+ray order or coordinate contraction violates (the planner's global fit
+flag then falls back to XLA scatter, ~1000x slower on TPU).  This kernel
+removes the coherence requirement by sorting *samples*, not rays — the
+TPU-native analogue of a GPU binned/tiled rasterizer, replacing the
+reference's global-memory ``tl.atomic_add`` splats
+(``grid_sample_util.py:40-99``) with deterministic dense algebra:
+
+1. **Phase A (XLA)**: march all ``R x S`` sample points, bucket each into
+   the ``8^3``-cell *octet* containing its lower sampling corner, and key
+   octets by their ``SUP x SUP``-cell z/y *slab* (full x extent).  One
+   ``lax.sort`` orders samples by (slab, octet); per-octet runs are padded
+   to 128-sample *bins* (slot->sample maps are all gathers + vectorized
+   binary searches — no scatters anywhere).
+2. **Phase B (Pallas)**: the grid walks 32-bin groups in sorted order.
+   The kernel keeps the current slab's ``[SUP+1, SUP+1, PXp, 128]`` cell
+   box (+1 z/y halo; x and channel dims whole, as Mosaic requires of
+   HBM<->VMEM DMA slices — see splatter_big.py) as VMEM scratch — zeroed
+   on the slab's first group, DMA'd to the HBM accumulator on its last —
+   and splats each bin with one ``stencil^T @ values`` MXU matmul against
+   the bin's 9 x 9 x 16-cell window (trilinear hats vs the window's
+   absolute cell coordinates).  Each slab owns one contiguous group run,
+   so the accumulation is write-once and race-free.
+
+The scheme is *exact* for every ray order, OOB policy, and contraction
+(out-of-window corners get zero hat weight, reproducing the zeros-padding
+semantics of ``ops/grid_sample.py``), so unlike the boxed path there is no
+runtime fit flag and no fallback branch.
+
+The backward of a splat is a gather: the bw kernel loads the same boxes of
+the (padded) gradient grid and emits per-sample ``stencil @ box_window``
+rows, un-sorted outside with one gather and summed over steps per ray.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import renderer_pallas as rp
+from .renderer_pallas import MAX_CELLS_PER_GRID
+
+# Octet (bucket) cell extents; 8-aligned so window x-starts respect the
+# sublane tiling of the box scratch's x axis.
+OCT = 8
+BIN = 128                     # samples per stencil matmul
+GBINS = 32                    # bins per Pallas grid step
+WZ, WY, WX = OCT + 1, OCT + 1, 2 * OCT     # bin window (+1 corner halo)
+WCELLS = WZ * WY * WX
+CPAD = 128                    # accumulator channel padding (DMA lane tile)
+_BOX_BUDGET = 40 * 1024 * 1024   # VMEM bytes for the slab scratch
+_BIG = 1.0e9                  # coord sentinel: zero hat weight everywhere
+
+
+@dataclasses.dataclass(frozen=True)
+class _SortedGeo:
+    D: int
+    H: int
+    W: int
+    C: int                    # feature channels
+    C1: int                   # C + 1 (fused weight channel)
+    SUP: int                  # slab cells per z/y axis
+    nsz: int
+    nsy: int
+    PZ: int
+    PY: int
+    PXp: int                  # padded x extent (whole-dim DMA'd)
+
+    @property
+    def n_sup(self):
+        return self.nsz * self.nsy
+
+    @property
+    def n_loc_x(self):
+        # x-octets that contain real cells (the +OCT halo of PXp never
+        # holds a sample's lower corner, so it gets no octet)
+        return -(-self.W // OCT)
+
+    @property
+    def n_loc(self):
+        # octet locals per slab: z, y within the slab; x over the full row
+        return (self.SUP // OCT) ** 2 * self.n_loc_x
+
+    @property
+    def n_keys(self):
+        return self.n_sup * self.n_loc
+
+
+def _slab_side(pxp: int) -> int:
+    for sup in (32, 16, 8):
+        if (sup + 1) ** 2 * pxp * CPAD * 4 <= _BOX_BUDGET:
+            return sup
+    return 0
+
+
+def sorted_geo(cfg) -> _SortedGeo:
+    (b, d, h, w, c), = cfg.output_grid_sizes
+    pxp = -(-w // OCT) * OCT + OCT
+    sup = _slab_side(pxp)
+    nsz = -(-d // sup)
+    nsy = -(-h // sup)
+    return _SortedGeo(
+        D=d, H=h, W=w, C=c, C1=c + 1, SUP=sup, nsz=nsz, nsy=nsy,
+        PZ=nsz * sup + 1, PY=nsy * sup + 1, PXp=pxp,
+    )
+
+
+def sorted_splat_supported(cfg) -> bool:
+    """Single-grid single-batch voxel splats with C+1 <= 128 channels and no
+    MLP (the fused-MLP path keeps the scan/VMEM kernels)."""
+    if len(cfg.n_hidden) > 0:
+        return False
+    if len(cfg.output_grid_sizes) != 1:
+        return False
+    b, d, h, w, c = cfg.output_grid_sizes[0]
+    if b != 1 or d <= 1 or h <= 1 or w <= 1:
+        return False
+    if c + 1 > CPAD:
+        return False
+    # small grids are handled wholly in VMEM by splatter_pallas
+    if d * h * w <= MAX_CELLS_PER_GRID:
+        return False
+    geo = sorted_geo(cfg)
+    if geo.SUP == 0:
+        return False
+    # bound the channel-padded HBM accumulator
+    return geo.PZ * geo.PY * geo.PXp * CPAD * 4 <= 6 * 1024 ** 3
+
+
+def _caps(geo: _SortedGeo, N: int):
+    """Static slot-capacity bounds: every octet wastes < 1 bin of padding,
+    every slab < 1 group."""
+    n_bins_cap = N // BIN + geo.n_keys
+    n_groups_cap = -(-n_bins_cap // GBINS) + geo.n_sup
+    return n_bins_cap, n_groups_cap
+
+
+def _all_step_depths(cfg, near, far):
+    """[R, S] march depths (same schedule as ``_step_depth_delta`` /
+    ``_host_chunk_endpoint_depths``)."""
+    ns, ni = cfg.num_samples, cfg.num_samples_inf
+    S = cfg.tot_num_samples
+    s = jnp.arange(S, dtype=jnp.float32)[None]
+    nr = near[:, None]
+    fr = far[:, None]
+    if ns > 1:
+        lin = nr + (fr - nr) * (s / (ns - 1))
+    else:
+        lin = jnp.broadcast_to(nr, (near.shape[0], S))
+    if ni > 0:
+        frac = (s - ns + 1.0) / ni
+        n_disp = cfg.disparity_at_inf * frac + (1.0 - frac)
+        t = jnp.where(s < ns, lin, fr * (1.0 / n_disp))
+    else:
+        t = lin
+    return t
+
+
+def sorted_plan(cfg, geom):
+    """Phase A: sort samples into octet bins; build all kernel-side tables.
+
+    Returns a dict of device arrays (static shapes from ``_caps``):
+      fzT/fyT/fxT  [n_groups_cap*BIN, GBINS] grid-frame sample coords,
+                   transposed so bin q's samples are column q of its group
+      table        [ngc8, 128] i32 per-group SMEM rows
+                   (slab z/y starts, first, last, GBINS x (dz, dy, dx))
+      ray_pad      [Npad] i32 ray index per padded slot (clipped)
+      pos_orig     [N] i32 padded slot of each original sample
+    """
+    from ..naive_renderer import _contract_pi
+
+    directions, origins, near, far, grid_idx, valid_mask = geom
+    geo = sorted_geo(cfg)
+    R = directions.shape[0]
+    S = cfg.tot_num_samples
+    N = R * S
+    n_bins_cap, n_groups_cap = _caps(geo, N)
+    n_bins_pad = n_groups_cap * GBINS
+    Npad = n_bins_pad * BIN
+    lz_n = geo.SUP // OCT
+    lx_n = geo.n_loc_x
+
+    t = _all_step_depths(cfg, near, far)                       # [R, S]
+    pts = origins[:, None, :] + t[:, :, None] * directions[:, None, :]
+    if cfg.contract_coords:
+        pts = _contract_pi(pts)
+
+    # grid-frame (align_corners=False) per-axis coords
+    fx = ((pts[..., 0] + 1.0) * 0.5) * geo.W - 0.5
+    fy = ((pts[..., 1] + 1.0) * 0.5) * geo.H - 0.5
+    fz = ((pts[..., 2] + 1.0) * 0.5) * geo.D - 0.5
+
+    # fold per-sample masking into the coords: a _BIG coordinate has zero
+    # hat weight against every window cell, so the sample contributes (and
+    # costs) nothing
+    dead = ~(valid_mask[:, None] > 0)
+    if cfg.mask_out_of_bounds_samples:
+        inb = jnp.all(jnp.abs(pts) <= 1.0, axis=-1)
+        dead = dead | ~inb
+    fz = jnp.where(dead, _BIG, fz).reshape(N)
+    fy = jnp.where(dead, _BIG, fy).reshape(N)
+    fx = jnp.where(dead, _BIG, fx).reshape(N)
+
+    cz = jnp.clip(jnp.floor(fz), 0, geo.D - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.floor(fy), 0, geo.H - 1).astype(jnp.int32)
+    cx = jnp.clip(jnp.floor(fx), 0, geo.W - 1).astype(jnp.int32)
+    sz, sy = cz // geo.SUP, cy // geo.SUP
+    lz, ly, lx = (cz // OCT) % lz_n, (cy // OCT) % lz_n, cx // OCT
+    key = ((sz * geo.nsy + sy) * geo.n_loc
+           + (lz * lz_n + ly) * lx_n + lx)
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    key_s, fz_s, fy_s, fx_s, idx_s = jax.lax.sort(
+        (key, fz, fy, fx, idx), num_keys=1, is_stable=True
+    )
+
+    # per-octet sample counts from the sorted keys (binary searches; no
+    # scatters)
+    bounds = jnp.searchsorted(
+        key_s, jnp.arange(geo.n_keys + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = jnp.diff(bounds)                                  # [n_keys]
+    nb = -(-counts // BIN)                                     # bins/octet
+    nb_sup = nb.reshape(geo.n_sup, geo.n_loc)
+    bins_sup = nb_sup.sum(axis=1)
+    groups_sup = -(-bins_sup // GBINS)
+    gstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(groups_sup)]
+    ).astype(jnp.int32)                                        # [n_sup+1]
+    n_groups_used = gstart[-1]
+    # first bin id of each octet (slab group padding included)
+    obo = jnp.cumsum(nb_sup, axis=1) - nb_sup
+    octet_bin_start = (
+        (gstart[:-1] * GBINS)[:, None] + obo
+    ).reshape(geo.n_keys).astype(jnp.int32)
+
+    # padded slot of each sorted sample (for the bw un-sort)
+    rank = idx - jnp.take(bounds, key_s)  # idx == arange == sorted position
+    pos = (jnp.take(octet_bin_start, key_s) + rank // BIN) * BIN + rank % BIN
+    # orig-sample -> slot: invert the sort with a second sort
+    _, pos_orig = jax.lax.sort((idx_s, pos), num_keys=1, is_stable=True)
+
+    # slot -> source sample (gather construction of the padded streams)
+    b = jnp.arange(n_bins_pad, dtype=jnp.int32)
+    bin_oct = (
+        jnp.searchsorted(octet_bin_start, b, side="right") - 1
+    ).astype(jnp.int32)
+    bin_oct = jnp.clip(bin_oct, 0, geo.n_keys - 1)
+    rank0 = (b - jnp.take(octet_bin_start, bin_oct)) * BIN
+    src_base = jnp.take(bounds, bin_oct) + rank0
+    cnt_b = jnp.take(counts, bin_oct)
+    j = jnp.arange(BIN, dtype=jnp.int32)[None]
+    valid_slot = (rank0[:, None] + j) < cnt_b[:, None]
+    src = jnp.where(valid_slot, src_base[:, None] + j, N).reshape(Npad)
+
+    # one row-gather for (fz, fy, fx); a sentinel row serves the padding
+    # slots.  The ray index is gathered as a separate int32 stream — NOT
+    # packed via bitcast into the float rows: small int bit patterns are
+    # f32 denormals, which the TPU flushes to zero in transit.
+    arr3 = jnp.stack([fz_s, fy_s, fx_s], axis=1)
+    sentinel = jnp.full((1, 3), _BIG, dtype=jnp.float32)
+    arr3 = jnp.concatenate([arr3, sentinel], axis=0)
+    arr3p = jnp.take(arr3, src, axis=0)                        # [Npad, 3]
+    ray_s = jnp.concatenate([idx_s // S, jnp.zeros((1,), jnp.int32)])
+    ray_pad = jnp.take(ray_s, src)                             # [Npad]
+
+    def groupT(col):
+        return (
+            col.reshape(n_groups_cap, GBINS, BIN)
+            .transpose(0, 2, 1)
+            .reshape(n_groups_cap * BIN, GBINS)
+        )
+
+    fzT = groupT(arr3p[:, 0])
+    fyT = groupT(arr3p[:, 1])
+    fxT = groupT(arr3p[:, 2])
+
+    # per-group SMEM table
+    g = jnp.arange(n_groups_cap, dtype=jnp.int32)
+    sup = jnp.clip(
+        jnp.searchsorted(gstart, g, side="right") - 1, 0, geo.n_sup - 1
+    ).astype(jnp.int32)
+    in_use = g < n_groups_used
+    first = (g == jnp.take(gstart, sup)) & in_use
+    last = (g == jnp.take(gstart, sup + 1) - 1) & in_use
+    s_z = sup // geo.nsy
+    s_y = sup % geo.nsy
+    oct_g = bin_oct.reshape(n_groups_cap, GBINS)
+    loc = oct_g % geo.n_loc
+    dz = (loc // (lz_n * lx_n)) * OCT
+    dy = ((loc // lx_n) % lz_n) * OCT
+    dx = (loc % lx_n) * OCT
+    cols = [
+        s_z * geo.SUP, s_y * geo.SUP,
+        first.astype(jnp.int32), last.astype(jnp.int32),
+    ]
+    table = jnp.concatenate(
+        [jnp.stack(cols, axis=1), dz, dy, dx], axis=1
+    ).astype(jnp.int32)                                        # [ngc, 4+96]
+    ngc8 = -(-n_groups_cap // 8) * 8
+    table = jnp.pad(
+        table, ((0, ngc8 - n_groups_cap), (0, 128 - table.shape[1]))
+    )
+
+    return {
+        "fzT": fzT, "fyT": fyT, "fxT": fxT, "table": table,
+        "ray_pad": ray_pad, "pos_orig": pos_orig,
+    }
+
+
+def _stencil_bin(fz, fy, fx, az0, ay0, ax0, iot):
+    """[BIN, WCELLS] trilinear hat stencil of one bin against its window.
+
+    ``az0``.. are the window's absolute start cells (traced scalars),
+    ``iot`` the precomputed [1, WCELLS] relative (z, y, x) cell iotas.
+    """
+    rz, ry, rx = iot
+    hz = jnp.maximum(0.0, 1.0 - jnp.abs(rz + az0.astype(jnp.float32) - fz))
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(ry + ay0.astype(jnp.float32) - fy))
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx + ax0.astype(jnp.float32) - fx))
+    return hz * hy * hx
+
+
+def _win_iotas():
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, WCELLS), 1)
+    rz = (li // (WY * WX)).astype(jnp.float32)
+    ry = ((li // WX) % WY).astype(jnp.float32)
+    rx = (li % WX).astype(jnp.float32)
+    return rz, ry, rx
+
+
+def _build_fw_kernel(geo: _SortedGeo):
+    C1 = geo.C1
+    BZ = BY = geo.SUP + 1
+
+    def kernel(tab_ref, fzT_ref, fyT_ref, fxT_ref, vals_ref,
+               _grid_in, grid_out, scratch, sem):
+        g = pl.program_id(0)
+        r = g % 8
+        bz = tab_ref[r, 0]
+        by = tab_ref[r, 1]
+
+        @pl.when(tab_ref[r, 2] == 1)
+        def _():
+            # read-modify-write: neighbouring slabs overlap at the +1 z/y
+            # halo planes, and earlier slabs' halo spill must be kept.
+            # Slabs run in sorted order on one core, so this is race-free.
+            cp = pltpu.make_async_copy(
+                grid_out.at[
+                    pl.ds(bz, BZ), pl.ds(by, BY), slice(None), slice(None)
+                ],
+                scratch, sem,
+            )
+            cp.start()
+            cp.wait()
+
+        iot = _win_iotas()
+        for q in range(GBINS):
+            fz = fzT_ref[:, q:q + 1]
+            fy = fyT_ref[:, q:q + 1]
+            fx = fxT_ref[:, q:q + 1]
+            dz = tab_ref[r, 4 + q]
+            dy = tab_ref[r, 4 + GBINS + q]
+            dx = tab_ref[r, 4 + 2 * GBINS + q]
+            st = _stencil_bin(fz, fy, fx, bz + dz, by + dy, dx, iot)
+            upd = jax.lax.dot_general(
+                st, vals_ref[q * BIN:(q + 1) * BIN, :],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [WCELLS, C1]
+            upd = jnp.pad(upd, ((0, 0), (0, CPAD - C1)))
+            scratch[pl.ds(dz, WZ), pl.ds(dy, WY), pl.ds(dx, WX), :] += (
+                upd.reshape(WZ, WY, WX, CPAD)
+            )
+
+        @pl.when(tab_ref[r, 3] == 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                scratch,
+                grid_out.at[
+                    pl.ds(bz, BZ), pl.ds(by, BY), slice(None), slice(None)
+                ],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+    return kernel
+
+
+def _build_bw_kernel(geo: _SortedGeo):
+    C = geo.C
+    BZ = BY = geo.SUP + 1
+
+    def kernel(tab_ref, fzT_ref, fyT_ref, fxT_ref, ggrid_hbm,
+               out_ref, scratch, sem):
+        g = pl.program_id(0)
+        r = g % 8
+        bz = tab_ref[r, 0]
+        by = tab_ref[r, 1]
+
+        @pl.when(tab_ref[r, 2] == 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                ggrid_hbm.at[
+                    pl.ds(bz, BZ), pl.ds(by, BY), slice(None), slice(None)
+                ],
+                scratch, sem,
+            )
+            cp.start()
+            cp.wait()
+
+        iot = _win_iotas()
+        for q in range(GBINS):
+            fz = fzT_ref[:, q:q + 1]
+            fy = fyT_ref[:, q:q + 1]
+            fx = fxT_ref[:, q:q + 1]
+            dz = tab_ref[r, 4 + q]
+            dy = tab_ref[r, 4 + GBINS + q]
+            dx = tab_ref[r, 4 + 2 * GBINS + q]
+            st = _stencil_bin(fz, fy, fx, bz + dz, by + dy, dx, iot)
+            win = scratch[
+                pl.ds(dz, WZ), pl.ds(dy, WY), pl.ds(dx, WX), :
+            ].reshape(WCELLS, CPAD)
+            gq = jnp.dot(st, win, preferred_element_type=jnp.float32)
+            out_ref[q * BIN:(q + 1) * BIN, :] = gq[:, :C]
+
+    return kernel
+
+
+def sorted_splat_fwd(cfg, geom, diff):
+    """Fused sorted splat; returns flat ``(feat [V, C], weight [V, 1])``
+    plus the plan (reused by the bw pass)."""
+    splatting_feature, _input_grid_flat, _mlp = diff
+    directions, origins, near, far, grid_idx, valid_mask = geom
+    geo = sorted_geo(cfg)
+    R = directions.shape[0]
+    BZ = BY = geo.SUP + 1
+
+    plan = sorted_plan(cfg, geom)
+    n_groups_cap = plan["fzT"].shape[0] // BIN
+
+    feat_aug = jnp.concatenate(
+        [
+            splatting_feature * valid_mask[:, None],
+            valid_mask[:, None].astype(splatting_feature.dtype),
+        ],
+        axis=1,
+    ).astype(jnp.float32)                                      # [R, C1]
+    vals = jnp.take(feat_aug, plan["ray_pad"], axis=0)         # [Npad, C1]
+
+    grid0 = jnp.zeros((geo.PZ, geo.PY, geo.PXp, CPAD), jnp.float32)
+
+    kernel = _build_fw_kernel(geo)
+    smem = pl.BlockSpec((8, 128), lambda g: (g // 8, 0),
+                        memory_space=pltpu.SMEM)
+    coordT_spec = pl.BlockSpec((BIN, GBINS), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM)
+    padded = pl.pallas_call(
+        kernel,
+        grid=(n_groups_cap,),
+        in_specs=[
+            smem, coordT_spec, coordT_spec, coordT_spec,
+            pl.BlockSpec((GBINS * BIN, geo.C1), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(
+            (geo.PZ, geo.PY, geo.PXp, CPAD), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BZ, BY, geo.PXp, CPAD), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={5: 0},
+        compiler_params=rp._COMPILER_PARAMS,
+        interpret=rp.INTERPRET,
+    )(plan["table"], plan["fzT"], plan["fyT"], plan["fxT"], vals, grid0)
+
+    core = padded[: geo.D, : geo.H, : geo.W, :]
+    V = geo.D * geo.H * geo.W
+    feat_grid = core[..., : geo.C].reshape(V, geo.C)
+    w_grid = core[..., geo.C: geo.C1].reshape(V, 1)
+    return (feat_grid, w_grid), plan
+
+
+def sorted_splat_bwd(cfg, plan, R, g_feat_grid):
+    """Adjoint gather: per-sample grads from the padded gradient grid,
+    un-sorted and summed over march steps -> ``g_encoding [R, C]``."""
+    geo = sorted_geo(cfg)
+    S = cfg.tot_num_samples
+    BZ = BY = geo.SUP + 1
+    n_groups_cap = plan["fzT"].shape[0] // BIN
+    Npad = n_groups_cap * GBINS * BIN
+
+    gg = g_feat_grid.reshape(geo.D, geo.H, geo.W, geo.C)
+    gg = jnp.pad(
+        gg,
+        ((0, geo.PZ - geo.D), (0, geo.PY - geo.H), (0, geo.PXp - geo.W),
+         (0, CPAD - geo.C)),
+    )
+
+    kernel = _build_bw_kernel(geo)
+    smem = pl.BlockSpec((8, 128), lambda g: (g // 8, 0),
+                        memory_space=pltpu.SMEM)
+    coordT_spec = pl.BlockSpec((BIN, GBINS), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM)
+    g_stream = pl.pallas_call(
+        kernel,
+        grid=(n_groups_cap,),
+        in_specs=[
+            smem, coordT_spec, coordT_spec, coordT_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((GBINS * BIN, geo.C), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Npad, geo.C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((BZ, BY, geo.PXp, CPAD), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=rp._COMPILER_PARAMS,
+        interpret=rp.INTERPRET,
+    )(plan["table"], plan["fzT"], plan["fyT"], plan["fxT"], gg)
+
+    g_sample = jnp.take(g_stream, plan["pos_orig"], axis=0)    # [N, C]
+    return g_sample.reshape(R, S, geo.C).sum(axis=1)

@@ -246,6 +246,15 @@ def _splat_core_big(cfg: _SplatCfg, geom, diff):
     return out
 
 
+def _big_fallback_is_sorted(cfg: _SplatCfg) -> bool:
+    """When the boxed planner's runtime fit flag fails (incoherent ray
+    order), fall back to the order-independent sorted kernel where it
+    applies — the XLA-scatter scan is ~1000x slower on TPU."""
+    from .kernels import splatter_sorted as ss
+
+    return ss.sorted_splat_supported(cfg)
+
+
 def _splat_big_fwd_impl(cfg: _SplatCfg, geom, diff):
     from .kernels import splatter_big as sb
 
@@ -254,10 +263,14 @@ def _splat_big_fwd_impl(cfg: _SplatCfg, geom, diff):
         cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0],
         sb.grid_infos(cfg.output_grid_sizes),
     )
+    if _big_fallback_is_sorted(cfg):
+        fallback = lambda: _sorted_fwd_primal(cfg, geom, diff)
+    else:
+        fallback = lambda: _splat_fwd_impl(cfg, geom, diff)
     out = jax.lax.cond(
         fits,
         lambda: sb.big_splat_fwd(cfg, geom, diff, w0, K, n_chunks),
-        lambda: _splat_fwd_impl(cfg, geom, diff),
+        fallback,
     )
     return out, (w0, fits, K, n_chunks)
 
@@ -272,16 +285,129 @@ def _splat_big_bwd(cfg: _SplatCfg, res, g_out):
 
     geom, (w0, fits, K, n_chunks) = res
     g_feat_grid, _g_w_grid = g_out  # weight cotangent ignored (see above)
+    if _big_fallback_is_sorted(cfg):
+        fallback = lambda: _sorted_bwd_encoding(cfg, geom, g_feat_grid)
+    else:
+        fallback = lambda: _splat_bwd_gather_scan(cfg, geom, g_feat_grid)
     g_enc = jax.lax.cond(
         fits,
         lambda: sb.big_splat_bwd(cfg, geom, g_feat_grid, w0, K, n_chunks),
-        lambda: _splat_bwd_gather_scan(cfg, geom, g_feat_grid),
+        fallback,
     )
     g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
     return g_geom, (g_enc, None, None)
 
 
 _splat_core_big.defvjp(_splat_big_fwd, _splat_big_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-splat core: order-independent big-grid kernel
+# (see kernels/splatter_sorted.py)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _splat_core_sorted(cfg: _SplatCfg, geom, diff):
+    from .kernels import splatter_sorted as ss
+
+    out, _plan = ss.sorted_splat_fwd(cfg, geom, diff)
+    return out
+
+
+def _splat_sorted_fwd(cfg, geom, diff):
+    from .kernels import splatter_sorted as ss
+
+    out, plan = ss.sorted_splat_fwd(cfg, geom, diff)
+    return out, (plan, geom)
+
+
+def _splat_sorted_bwd(cfg: _SplatCfg, res, g_out):
+    from .kernels import splatter_sorted as ss
+
+    plan, geom = res
+    g_feat_grid, _g_w_grid = g_out  # weight cotangent ignored (see above)
+    g_enc = ss.sorted_splat_bwd(cfg, plan, geom[0].shape[0], g_feat_grid)
+    g_enc = g_enc * geom[5][:, None]  # valid_mask factor from the fwd
+    g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
+    return g_geom, (g_enc, None, None)
+
+
+_splat_core_sorted.defvjp(_splat_sorted_fwd, _splat_sorted_bwd)
+
+# samples per sorted-splat launch; larger ray sets are split into chunks of
+# rays whose linear accumulators sum (keeps the O(R*S) sort/stream
+# footprint bounded)
+_SORTED_CHUNK_SAMPLES = 8_388_608
+
+
+def _sorted_chunk_ranges(R: int, S: int):
+    chunk_r = max(1, _SORTED_CHUNK_SAMPLES // S)
+    return [(lo, min(R, lo + chunk_r)) for lo in range(0, R, chunk_r)]
+
+
+def _splat_core_sorted_chunked(cfg: _SplatCfg, geom, diff):
+    R = geom[0].shape[0]
+    feat_grid, w_grid = None, None
+    for lo, hi in _sorted_chunk_ranges(R, cfg.tot_num_samples):
+        geom_c = tuple(a[lo:hi] for a in geom)
+        diff_c = (diff[0][lo:hi], diff[1], diff[2])
+        f, w = _splat_core_sorted(cfg, geom_c, diff_c)
+        feat_grid = f if feat_grid is None else feat_grid + f
+        w_grid = w if w_grid is None else w_grid + w
+    return feat_grid, w_grid
+
+
+def _sorted_fwd_primal(cfg: _SplatCfg, geom, diff):
+    """Chunked sorted-splat primal without the custom-vjp wrapper (used as
+    the big path's runtime fallback branch, where the outer custom_vjp
+    already owns differentiation)."""
+    from .kernels import splatter_sorted as ss
+
+    R = geom[0].shape[0]
+    feat_grid, w_grid = None, None
+    for lo, hi in _sorted_chunk_ranges(R, cfg.tot_num_samples):
+        geom_c = tuple(a[lo:hi] for a in geom)
+        diff_c = (diff[0][lo:hi], diff[1], diff[2])
+        (f, w), _plan = ss.sorted_splat_fwd(cfg, geom_c, diff_c)
+        feat_grid = f if feat_grid is None else feat_grid + f
+        w_grid = w if w_grid is None else w_grid + w
+    return feat_grid, w_grid
+
+
+def _sorted_bwd_encoding(cfg: _SplatCfg, geom, g_feat_grid):
+    """Chunked sorted-splat adjoint; re-derives each chunk's plan from the
+    geometry (the sort is deterministic, so recompute beats carrying the
+    plan through a ``lax.cond`` residual)."""
+    from .kernels import splatter_sorted as ss
+
+    R = geom[0].shape[0]
+    parts = []
+    for lo, hi in _sorted_chunk_ranges(R, cfg.tot_num_samples):
+        geom_c = tuple(a[lo:hi] for a in geom)
+        plan = ss.sorted_plan(cfg, geom_c)
+        g_enc = ss.sorted_splat_bwd(cfg, plan, hi - lo, g_feat_grid)
+        parts.append(g_enc * geom_c[5][:, None])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
+def _use_sorted_splat(cfg, impl: str) -> bool:
+    from .kernels import splatter_sorted as ss
+
+    if impl == "sorted":
+        return True
+    if impl != "auto":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    from .kernels import splatter_big as sb
+    from .kernels import splatter_pallas as sp
+
+    return (
+        not sp.pallas_splatter_supported(cfg)
+        and not sb.big_splat_supported(cfg)
+        and ss.sorted_splat_supported(cfg)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -426,7 +552,9 @@ def _run_splatter(
         input_grid_flat,
         mlp_params.mlp_params if mlp_params is not None else None,
     )
-    if _use_big_splat(cfg, impl):
+    if _use_sorted_splat(cfg, impl):
+        core = _splat_core_sorted_chunked
+    elif _use_big_splat(cfg, impl):
         core = _splat_core_big
     elif _use_pallas_splat(cfg, impl):
         core = _splat_core_pallas
