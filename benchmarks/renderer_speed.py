@@ -7,6 +7,7 @@ available implementations and reports rays/s and peak device memory.
 Emits CSV ``STATS,`` lines like the reference.
 
 Usage: python benchmarks/renderer_speed.py [--sizes 64 128 256] [--impls pallas scan]
+       [--tile_order]   # tile-major ray order (the packed 2D-window fast path)
 """
 
 import argparse
@@ -24,7 +25,8 @@ import numpy as np
 import lightplane_tpu as lt
 
 
-def make_inputs(key, image_size, res=32, chn=32, hidden=32, n_layers=2):
+def make_inputs(key, image_size, res=32, chn=32, hidden=32, n_layers=2,
+                tile_order=False):
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     dp = lt.init_decoder_params(
         k1, n_layers_opacity=n_layers, n_layers_trunk=n_layers,
@@ -42,10 +44,12 @@ def make_inputs(key, image_size, res=32, chn=32, hidden=32, n_layers=2):
         jnp.linspace(-0.5, 0.5, image_size),
         indexing="ij",
     )
+    directions = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(n)], axis=-1)
+    if tile_order:
+        order, _ = lt.tile_ray_order(image_size, image_size)
+        directions = directions[order]
     rays = lt.Rays(
-        directions=jnp.stack(
-            [xs.ravel(), ys.ravel(), jnp.ones(n)], axis=-1
-        ),
+        directions=directions,
         origins=jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (n, 1)),
         grid_idx=jnp.zeros((n,), jnp.int32),
         near=jnp.full((n,), 1.0),
@@ -65,9 +69,10 @@ def peak_mem_mb():
     return float("nan")
 
 
-def bench_one(impl, image_size, num_samples, n_reps=5, n_warmup=2):
-    rays, grid, dp = make_inputs(jax.random.PRNGKey(0), image_size)
-    n_rays = image_size * image_size
+def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False):
+    rays, grid, dp = make_inputs(
+        jax.random.PRNGKey(0), image_size, tile_order=tile_order
+    )
 
     def fwd(grid, mp, enc):
         r = dataclasses.replace(rays, encoding=enc)
@@ -82,18 +87,33 @@ def bench_one(impl, image_size, num_samples, n_reps=5, n_warmup=2):
 
     f_fwd = jax.jit(fwd)
     f_bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-    args = (grid, dp.mlp_params, rays.encoding)
+
+    # ``block_until_ready`` can no-op on some backends (axon tunnel):
+    # chain iterations through a data dependency and sync with one D2H;
+    # subtract the 1-iter run, which carries the same fixed cost.
+    def chain_bwd(n):
+        g = grid
+        for _ in range(n):
+            gg, gm, ge = f_bwd(g, dp.mlp_params, rays.encoding)
+            g = [a + b * 1e-30 for a, b in zip(g, gg)]
+        return np.asarray(gm[:1])
+
+    def chain_fwd(n):
+        g = grid
+        for _ in range(n):
+            depth, nlt, feat = f_fwd(g, dp.mlp_params, rays.encoding)
+            g = [a + nlt[0, None, None, None, None] * 1e-30 for a in g]
+        return np.asarray(depth[:1])
 
     results = {}
-    for name, fn in [("fw", f_fwd), ("fwbw", f_bwd)]:
-        for _ in range(n_warmup):
-            out = fn(*args)
-        jax.block_until_ready(out)
+    for name, chain in [("fw", chain_fwd), ("fwbw", chain_bwd)]:
+        chain(1)  # compile + warmup
         t0 = time.perf_counter()
-        for _ in range(n_reps):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        results[name] = (time.perf_counter() - t0) / n_reps
+        chain(1)
+        t1 = time.perf_counter()
+        chain(n_reps + 1)
+        t2 = time.perf_counter()
+        results[name] = ((t2 - t1) - (t1 - t0)) / n_reps
     results["mem_mb"] = peak_mem_mb()
     return results
 
@@ -105,6 +125,7 @@ def main():
     p.add_argument("--impls", type=str, nargs="*",
                    default=["pallas", "scan"])
     p.add_argument("--num_samples", type=int, default=256)
+    p.add_argument("--tile_order", action="store_true")
     args = p.parse_args()
 
     print("STATS,impl,image_size,n_rays,t_fw_ms,t_fwbw_ms,"
@@ -112,7 +133,8 @@ def main():
     for impl in args.impls:
         for size in args.sizes:
             try:
-                r = bench_one(impl, size, args.num_samples)
+                r = bench_one(impl, size, args.num_samples,
+                              tile_order=args.tile_order)
             except Exception as e:
                 print(f"STATS,{impl},{size},{size*size},ERROR,"
                       f"{type(e).__name__},,")

@@ -1609,29 +1609,6 @@ def _chunk_decoder_packed(cfg, pc, grid_ref, cgrid_ref, samplers,
     return sigma_cols, color_pack, res, feat, cfeat
 
 
-def _packed_ea_color(pc, w_ks, color_pack, Nc, B, Kp):
-    """feat_acc contribution of a chunk: sum_k w_k * color_k, computed in
-    the packed layout.  ``w_ks``: K per-step [B, 1] EA weights (gated)."""
-    w_exp = pc.expand_cols(_stack_k_cols(pc, w_ks, Kp), Nc)  # [Mq, P*Nc]
-    red = jnp.dot(w_exp * color_pack, pc.reduce(Nc),
-                  preferred_element_type=jnp.float32)   # [Mq, Nc]
-    out = None
-    for j in range(Kp):
-        t = red[j * B: (j + 1) * B]
-        out = t if out is None else out + t
-    return out
-
-
-def _stack_k_cols(pc, ks, Kp):
-    """K per-step [B, 1] columns -> P per-block [Mq, 1] columns (block q
-    holds its Kp steps stacked row-major, matching the packed layout)."""
-    return [
-        jnp.concatenate(ks[q * Kp: (q + 1) * Kp], axis=0)
-        if Kp > 1 else ks[q]
-        for q in range(pc.P)
-    ]
-
-
 def _packed_layer_shapes(cfg, n_mlp, w2=False):
     """Static (K, N, packed) per layer, flattened trunk->op->col, matching
     the bw scratch accumulators.  In ``w2`` mode every layer is packed
@@ -1792,6 +1769,66 @@ def _bk_to_m1(a_bk):
     return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=0)
 
 
+def _cols_to_pack(cols, P, Kp, B):
+    """K per-step [B, 1] columns -> the packed [Kp*B, P] layout (step
+    k = q*Kp + j at row block j, lane q) via lane placements (exact —
+    no matmul rounding, no lane-slice offset layouts)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    blocks = []
+    for j in range(Kp):
+        t = None
+        for q in range(P):
+            c = jnp.where(lane == q, cols[q * Kp + j], 0.0)
+            t = c if t is None else t + c
+        blocks.append(t)
+    return blocks[0] if Kp == 1 else jnp.concatenate(blocks, axis=0)
+
+
+def _tile_rows(v, Kp):
+    """[B, w] -> [Kp*B, w] (broadcast a per-ray column over the Kp row
+    blocks of the packed layout)."""
+    return v if Kp == 1 else jnp.concatenate([v] * Kp, axis=0)
+
+
+def _exact_dot(x, m):
+    """``x @ m`` for a 0/1 selection matrix ``m`` with bf16x2 operand
+    splitting: the matrix side is exact in bf16, so the error is
+    O(eps_bf16^2) — same trick as ``exact_cols`` in :func:`_chunk_geom`.
+    (Measured FASTER than one default-precision matmul on v5e.)"""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return (
+        jnp.dot(hi, m, preferred_element_type=jnp.float32)
+        + jnp.dot(x - hi, m, preferred_element_type=jnp.float32)
+    )
+
+
+def _pack_prefix(X, P, Kp, B):
+    """Inclusive running sum over the march-step order (k = q*Kp + j) of
+    a packed [Kp*B, P] block.  Two-level prefix: running adds over the
+    Kp row blocks within each lane + one strict-triangular [P, P] lane
+    matmul over the per-lane block totals.  Returns ``(incl, tot)`` with
+    ``tot`` the [B, P] per-lane totals (for the carry update)."""
+    run, s = [], None
+    for j in range(Kp):
+        b_ = X[j * B: (j + 1) * B]
+        s = b_ if s is None else s + b_
+        run.append(s)
+    tri = _iota_mat((P, P), lambda r, c: r < c)
+    cum_q = _exact_dot(s, tri)
+    if Kp == 1:
+        return run[0] + cum_q, s
+    return jnp.concatenate([r + cum_q for r in run], axis=0), s
+
+
+def _pack_row_lane_sum(a, Kp, B):
+    """Sum a packed [Kp*B, P] block over ALL steps -> [B, 1]."""
+    s = None
+    for j in range(Kp):
+        b_ = a[j * B: (j + 1) * B]
+        s = b_ if s is None else s + b_
+    return jnp.sum(s, axis=1, keepdims=True)
+
+
 def _chunk_decoder(cfg, grid_ref, cgrid_ref, samplers, csamplers, mask_m,
                    enc_r, noise_i1, seed, mlps, packed_heads=None,
                    t1_folded=False):
@@ -1942,23 +1979,42 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
                         color_pack, pc.reduce(Nc),
                         preferred_element_type=jnp.float32)[:B]
                     return (nlt, depth_acc, feat_acc)
-                sig_q = _bk_cols(sigma_cols)
-                w_ks = []
-                T_carry = jnp.exp(-nlt)   # one exp per step, carried
-                for k in range(K):
-                    q, j = k // Kp, k % Kp
-                    sig_k = sig_q[q][j * B: (j + 1) * B]
-                    if gates is not None:
-                        sig_k = sig_k * gates[k]
-                    nlt = nlt + sig_k * dv_cols[k]
-                    T_new = jnp.exp(-nlt)
-                    w = T_carry - T_new
-                    T_carry = T_new
-                    depth_acc = depth_acc + w * t_cols[k]
-                    w_ks.append(w if gates is None else w * gates[k])
-                feat_acc = feat_acc + _packed_ea_color(
-                    pc, w_ks, color_pack, Nc, B, Kp,
+                # EA in the decoder's packed [Mq, P] layout (no per-step
+                # extraction): running sums over the Kp row blocks + one
+                # strict-triangular lane matmul give the transmittance
+                # prefix; TWO [Mq, P] exps per chunk replace K serial
+                # [B, 1] ones.  Math identical to the sequential chain.
+                dv_pack = _cols_to_pack(dv_cols, P, Kp, B)
+                t_pack = _cols_to_pack(t_cols, P, Kp, B)
+                gate_pack = (
+                    None if gates is None
+                    else _cols_to_pack(gates, P, Kp, B)
                 )
+                sig_pack = (
+                    sigma_cols if gate_pack is None
+                    else sigma_cols * gate_pack
+                )
+                X = sig_pack * dv_pack
+                incl, tot = _pack_prefix(X, P, Kp, B)
+                excl = incl - X
+                nlt_t = _tile_rows(nlt, Kp)
+                w_pack = jnp.exp(-(nlt_t + excl)) - jnp.exp(-(nlt_t + incl))
+                depth_acc = depth_acc + _pack_row_lane_sum(
+                    w_pack * t_pack, Kp, B
+                )
+                nlt = nlt + jnp.sum(tot, axis=1, keepdims=True)
+                if gate_pack is not None:
+                    w_pack = w_pack * gate_pack
+                w_exp = _exact_dot(
+                    w_pack, _iota_mat((P, P * Nc), lambda r, c: c // Nc == r)
+                )
+                red = jnp.dot(w_exp * color_pack, pc.reduce(Nc),
+                              preferred_element_type=jnp.float32)
+                out = None
+                for j in range(Kp):
+                    t_ = red[j * B: (j + 1) * B]
+                    out = t_ if out is None else out + t_
+                feat_acc = feat_acc + out
                 return (nlt, depth_acc, feat_acc)
             sigma, color, _, _, _ = _chunk_decoder(
                 cfg, grid_ref, cgrid_ref, samplers, csamplers, mask_m,
@@ -2412,34 +2468,47 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None):
                     gfeat_pack * color_pack, pc.block_sum(Nc),
                     preferred_element_type=jnp.float32,
                 )                                     # [Mq, P]
-                sig_q = _bk_cols(sigma_cols)
-                colg_q = _bk_cols(colg_cols)
-                g_sig_ks, w_ks = [], []
-                T = jnp.exp(-nlt_run)     # one exp per step, carried
-                for k in range(K):
-                    q, j = k // Kp, k % Kp
-                    sl = slice(j * B, (j + 1) * B)
-                    sig_k = sig_q[q][sl]
-                    colg_k = colg_q[q][sl]
-                    gk = None if gates is None else gates[k]
-                    if gk is not None:
-                        sig_k = sig_k * gk
-                        colg_k = colg_k * gk
-                    nlt_run = nlt_run - sig_k * dv_cols[k]
-                    T_prev = jnp.exp(-nlt_run)
-                    w = T_prev - T
-                    g_w = g_depth * t_cols[k] + colg_k
-                    g_s = g_w * T - suffix + g_nlt
-                    T = T_prev
-                    g_sig = g_s * dv_cols[k]
-                    if gk is not None:
-                        g_sig = g_sig * gk
-                    g_sig_ks.append(g_sig)
-                    w_ks.append(w if gk is None else w * gk)
-                    suffix = suffix + g_w * w
+                # EA adjoint in the packed [Mq, P] layout: the rewind
+                # and the suffix accumulator are both running-step
+                # prefixes (_pack_prefix); TWO exps per chunk replace
+                # the K serial per-step ones.  At step k (processing
+                # order): T = exp(-(nlt_run - excl_k)), T_prev =
+                # exp(-(nlt_run - incl_k)), and g_s sees the exclusive
+                # prefix of g_w*w.  Math identical to the serial chain.
+                dv_pack = _cols_to_pack(dv_cols, P, Kp, B)
+                t_pack = _cols_to_pack(t_cols, P, Kp, B)
+                gate_pack = (
+                    None if gates is None
+                    else _cols_to_pack(gates, P, Kp, B)
+                )
+                sig_pack, colg_pack = sigma_cols, colg_cols
+                if gate_pack is not None:
+                    sig_pack = sig_pack * gate_pack
+                    colg_pack = colg_pack * gate_pack
+                X = sig_pack * dv_pack
+                incl, totX = _pack_prefix(X, P, Kp, B)
+                excl = incl - X
+                nlt_t = _tile_rows(nlt_run, Kp)
+                T_pack = jnp.exp(-(nlt_t - excl))
+                w_pack = jnp.exp(-(nlt_t - incl)) - T_pack
+                g_w = _tile_rows(g_depth, Kp) * t_pack + colg_pack
+                Y = g_w * w_pack
+                inclY, totY = _pack_prefix(Y, P, Kp, B)
+                g_s = (
+                    g_w * T_pack - (_tile_rows(suffix, Kp) + inclY - Y)
+                    + _tile_rows(g_nlt, Kp)
+                )
+                g_sig_pack = g_s * dv_pack
+                if gate_pack is not None:
+                    g_sig_pack = g_sig_pack * gate_pack
+                    w_pack = w_pack * gate_pack
+                suffix = suffix + jnp.sum(totY, axis=1, keepdims=True)
+                nlt_run = nlt_run - jnp.sum(totX, axis=1, keepdims=True)
                 # ---- packed decoder backward ----
+                # g_sig_pack is already the [Mq, P] layout the decoder
+                # backward wants
                 if "nomlpbwd" in ABLATE and not w2:
-                    gcols = _stack_k_cols(pc, g_sig_ks, Kp)
+                    gcols = _bk_cols(g_sig_pack)
                     g_pieces = [
                         jnp.zeros_like(fq) + gcols[q]
                         for q, fq in enumerate(pc.pieces(feat))
@@ -2447,13 +2516,12 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None):
                     _splat_samplers_pieces(pc, samplers, ggrid_ref,
                                            mask_m, g_pieces)
                     return (nlt_run, suffix, genc_acc)
-                g_op_cols = pc.expand_cols(
-                    _stack_k_cols(pc, g_sig_ks, Kp), 1,
-                )                                     # [Mq, P]
-                g_op_cols = g_op_cols * cfg.gain * _d_softplus(op_cols)
+                g_op_cols = g_sig_pack * cfg.gain * _d_softplus(op_cols)
                 g_op_pack = jnp.dot(g_op_cols, pc.sel_col0_t(No),
                                     preferred_element_type=jnp.float32)
-                wg_exp = pc.expand_cols(_stack_k_cols(pc, w_ks, Kp), Nc)
+                wg_exp = _exact_dot(
+                    w_pack, _iota_mat((P, P * Nc), lambda r, c: c // Nc == r)
+                )
                 g_col_pre = (
                     wg_exp * gfeat_pack * color_pack * (1.0 - color_pack)
                 )
