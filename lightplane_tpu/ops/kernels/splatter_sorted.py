@@ -340,7 +340,6 @@ def _win_iotas():
 
 
 def _build_fw_kernel(geo: _SortedGeo):
-    C1 = geo.C1
     BZ = BY = geo.SUP + 1
 
     def kernel(tab_ref, fzT_ref, fyT_ref, fxT_ref, vals_ref,
@@ -373,12 +372,14 @@ def _build_fw_kernel(geo: _SortedGeo):
             dy = tab_ref[r, 4 + GBINS + q]
             dx = tab_ref[r, 4 + 2 * GBINS + q]
             st = _stencil_bin(fz, fy, fx, bz + dz, by + dy, dx, iot)
+            # vals arrive pre-padded to CPAD lanes (zero beyond C1): the
+            # matmul output drops straight into the scratch window with no
+            # per-bin lane pad/relayout.
             upd = jax.lax.dot_general(
                 st, vals_ref[q * BIN:(q + 1) * BIN, :],
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                          # [WCELLS, C1]
-            upd = jnp.pad(upd, ((0, 0), (0, CPAD - C1)))
+            )                                          # [WCELLS, CPAD]
             scratch[pl.ds(dz, WZ), pl.ds(dy, WY), pl.ds(dx, WX), :] += (
                 upd.reshape(WZ, WY, WX, CPAD)
             )
@@ -399,7 +400,6 @@ def _build_fw_kernel(geo: _SortedGeo):
 
 
 def _build_bw_kernel(geo: _SortedGeo):
-    C = geo.C
     BZ = BY = geo.SUP + 1
 
     def kernel(tab_ref, fzT_ref, fyT_ref, fxT_ref, ggrid_hbm,
@@ -432,8 +432,11 @@ def _build_bw_kernel(geo: _SortedGeo):
             win = scratch[
                 pl.ds(dz, WZ), pl.ds(dy, WY), pl.ds(dx, WX), :
             ].reshape(WCELLS, CPAD)
+            # keep all CPAD lanes (zeros beyond C): full-lane rows unsort
+            # ~3x faster than C-lane rows, and the lane slice is free after
+            # the per-ray step sum.
             gq = jnp.dot(st, win, preferred_element_type=jnp.float32)
-            out_ref[q * BIN:(q + 1) * BIN, :] = gq[:, :C]
+            out_ref[q * BIN:(q + 1) * BIN, :] = gq
 
     return kernel
 
@@ -457,7 +460,11 @@ def sorted_splat_fwd(cfg, geom, diff):
         ],
         axis=1,
     ).astype(jnp.float32)                                      # [R, C1]
-    vals = jnp.take(feat_aug, plan["ray_pad"], axis=0)         # [Npad, C1]
+    # Pad channels to the 128-lane tile BEFORE the slot gather: full-lane
+    # rows gather ~3x faster than 65-lane rows on TPU, and the kernel then
+    # consumes CPAD-wide value rows with no per-bin pad.
+    feat_pad = jnp.pad(feat_aug, ((0, 0), (0, CPAD - geo.C1)))
+    vals = jnp.take(feat_pad, plan["ray_pad"], axis=0)         # [Npad, CPAD]
 
     grid0 = jnp.zeros((geo.PZ, geo.PY, geo.PXp, CPAD), jnp.float32)
 
@@ -471,7 +478,7 @@ def sorted_splat_fwd(cfg, geom, diff):
         grid=(n_groups_cap,),
         in_specs=[
             smem, coordT_spec, coordT_spec, coordT_spec,
-            pl.BlockSpec((GBINS * BIN, geo.C1), lambda g: (g, 0),
+            pl.BlockSpec((GBINS * BIN, CPAD), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -523,9 +530,9 @@ def sorted_splat_bwd(cfg, plan, R, g_feat_grid):
             smem, coordT_spec, coordT_spec, coordT_spec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((GBINS * BIN, geo.C), lambda g: (g, 0),
+        out_specs=pl.BlockSpec((GBINS * BIN, CPAD), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Npad, geo.C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Npad, CPAD), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((BZ, BY, geo.PXp, CPAD), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -534,5 +541,5 @@ def sorted_splat_bwd(cfg, plan, R, g_feat_grid):
         interpret=rp.INTERPRET,
     )(plan["table"], plan["fzT"], plan["fyT"], plan["fxT"], gg)
 
-    g_sample = jnp.take(g_stream, plan["pos_orig"], axis=0)    # [N, C]
-    return g_sample.reshape(R, S, geo.C).sum(axis=1)
+    g_sample = jnp.take(g_stream, plan["pos_orig"], axis=0)    # [N, CPAD]
+    return g_sample.reshape(R, S, CPAD).sum(axis=1)[:, : geo.C]
