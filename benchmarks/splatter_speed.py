@@ -104,7 +104,9 @@ def main():
                 r = bench_one(impl, v, grid_res=args.grid_res,
                               chn=args.channels, shuffle=args.shuffle)
             except Exception as e:
+                msg = " ".join(str(e).split())[:160]
                 print(f"STATS,{impl},{v},{n},ERROR,{type(e).__name__},,")
+                print(f"#   {msg}", file=sys.stderr)
                 continue
             print(
                 f"STATS,{impl},{v},{n},{r['fw']*1e3:.2f},"
