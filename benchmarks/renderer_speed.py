@@ -69,6 +69,22 @@ def peak_mem_mb():
     return float("nan")
 
 
+def analysis_mem_mb(compiled):
+    """Compile-time peak-HBM estimate (argument + output + temp) from XLA's
+    buffer assignment — works where runtime ``memory_stats()`` is
+    unavailable (e.g. through the axon device tunnel)."""
+    try:
+        ma = compiled.memory_analysis()
+        total = (
+            ma.argument_size_in_bytes
+            + ma.output_size_in_bytes
+            + ma.temp_size_in_bytes
+        )
+        return total / 2**20
+    except Exception:
+        return float("nan")
+
+
 def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False):
     rays, grid, dp = make_inputs(
         jax.random.PRNGKey(0), image_size, tile_order=tile_order
@@ -85,8 +101,12 @@ def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False):
         out = fwd(grid, mp, enc)
         return sum(jnp.sum(o) for o in out)
 
-    f_fwd = jax.jit(fwd)
-    f_bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    f_fwd = jax.jit(fwd).lower(grid, dp.mlp_params, rays.encoding).compile()
+    f_bwd = (
+        jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        .lower(grid, dp.mlp_params, rays.encoding)
+        .compile()
+    )
 
     # ``block_until_ready`` can no-op on some backends (axon tunnel):
     # chain iterations through a data dependency and sync with one D2H;
@@ -114,7 +134,10 @@ def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False):
         chain(n_reps + 1)
         t2 = time.perf_counter()
         results[name] = ((t2 - t1) - (t1 - t0)) / n_reps
-    results["mem_mb"] = peak_mem_mb()
+    mem = peak_mem_mb()
+    if mem != mem:  # runtime stats unavailable: compile-time estimate
+        mem = max(analysis_mem_mb(f_fwd), analysis_mem_mb(f_bwd))
+    results["mem_mb"] = mem
     return results
 
 

@@ -1,9 +1,10 @@
 """Splatter speed/memory benchmark.
 
 Counterpart of reference ``tests/splatter_speed_benchmark.py:200-250``:
-splats N views x 128^2 rays x 96 samples into a voxel grid (reference uses
-160^3 x 64ch; the grid size is configurable since the XLA-scatter path
-handles big voxel grids while the Pallas path covers VMEM-sized grids).
+splats N views x 128^2 rays x 96 samples into a voxel grid (reference
+config 160^3 x 64ch).  ``impl="auto"`` runs the sorted octet-binned
+Pallas kernel for beyond-VMEM grids (any ray order) and the VMEM kernel
+for small ones; ``--impls big sorted scan`` compares the other cores.
 """
 
 import argparse
@@ -18,16 +19,15 @@ import jax
 import jax.numpy as jnp
 
 import lightplane_tpu as lt
-from benchmarks.renderer_speed import peak_mem_mb
+from benchmarks.renderer_speed import analysis_mem_mb, peak_mem_mb
 
 
 def make_rays(key, n_views, view_res, chn):
     """N posed camera views of view_res^2 rays each — the production
     splatting workload (lifting per-pixel image features into 3D).  The
     reference bench uses synthetic random rays instead
-    (``tests/utils.py:230-268``); camera views are raster-coherent, which
-    the TPU boxed-DMA splatter exploits (incoherent rays fall back to the
-    XLA path)."""
+    (``tests/utils.py:230-268``); the sorted kernel handles either order
+    at the same speed (``--shuffle`` to check)."""
     import numpy as np
 
     from lightplane_tpu.utils.cameras import camera_rays, sphere_cameras
@@ -71,18 +71,25 @@ def bench_one(impl, n_views, view_res=128, grid_res=160, chn=64,
     def loss(enc):
         return jnp.sum(fwd(enc) ** 2)
 
-    f_fwd = jax.jit(fwd)
-    f_bwd = jax.jit(jax.grad(loss))
+    f_fwd = jax.jit(fwd).lower(rays.encoding).compile()
+    f_bwd = jax.jit(jax.grad(loss)).lower(rays.encoding).compile()
     res = {}
     for name, fn in [("fw", f_fwd), ("fwbw", f_bwd)]:
         out = fn(rays.encoding)
         jax.block_until_ready(out)
+        del out
         t0 = time.perf_counter()
+        out = None
         for _ in range(n_reps):
+            prev = out
             out = fn(rays.encoding)
+            del prev
         jax.block_until_ready(out)
         res[name] = (time.perf_counter() - t0) / n_reps
-    res["mem_mb"] = peak_mem_mb()
+    mem = peak_mem_mb()
+    if mem != mem:  # runtime stats unavailable: compile-time estimate
+        mem = max(analysis_mem_mb(f_fwd), analysis_mem_mb(f_bwd))
+    res["mem_mb"] = mem
     return res
 
 

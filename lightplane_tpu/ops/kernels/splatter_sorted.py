@@ -441,18 +441,8 @@ def _build_bw_kernel(geo: _SortedGeo):
     return kernel
 
 
-def sorted_splat_fwd(cfg, geom, diff):
-    """Fused sorted splat; returns flat ``(feat [V, C], weight [V, 1])``
-    plus the plan (reused by the bw pass)."""
-    splatting_feature, _input_grid_flat, _mlp = diff
-    directions, origins, near, far, grid_idx, valid_mask = geom
-    geo = sorted_geo(cfg)
-    R = directions.shape[0]
-    BZ = BY = geo.SUP + 1
-
-    plan = sorted_plan(cfg, geom)
-    n_groups_cap = plan["fzT"].shape[0] // BIN
-
+def sorted_vals(geo: _SortedGeo, plan, splatting_feature, valid_mask):
+    """Padded per-slot value rows ``[Npad, CPAD]`` for one chunk."""
     feat_aug = jnp.concatenate(
         [
             splatting_feature * valid_mask[:, None],
@@ -464,9 +454,20 @@ def sorted_splat_fwd(cfg, geom, diff):
     # rows gather ~3x faster than 65-lane rows on TPU, and the kernel then
     # consumes CPAD-wide value rows with no per-bin pad.
     feat_pad = jnp.pad(feat_aug, ((0, 0), (0, CPAD - geo.C1)))
-    vals = jnp.take(feat_pad, plan["ray_pad"], axis=0)         # [Npad, CPAD]
+    return jnp.take(feat_pad, plan["ray_pad"], axis=0)         # [Npad, CPAD]
 
-    grid0 = jnp.zeros((geo.PZ, geo.PY, geo.PXp, CPAD), jnp.float32)
+
+def sorted_splat_acc(cfg, plan, vals, acc):
+    """One chunk's sorted splat, read-modify-writing the padded HBM
+    accumulator ``acc [PZ, PY, PXp, CPAD]`` (aliased input->output).
+
+    Threading the accumulator through chunk calls keeps one grid-sized
+    buffer live for the whole ray set — the round-1 per-chunk zero grids +
+    [V, C] adds were the main OOM driver at the reference's 160^3 x 64ch
+    splatter benchmark config (16 GB v5e)."""
+    geo = sorted_geo(cfg)
+    BZ = BY = geo.SUP + 1
+    n_groups_cap = plan["fzT"].shape[0] // BIN
 
     kernel = _build_fw_kernel(geo)
     smem = pl.BlockSpec((8, 128), lambda g: (g // 8, 0),
@@ -493,30 +494,55 @@ def sorted_splat_fwd(cfg, geom, diff):
         input_output_aliases={5: 0},
         compiler_params=rp._COMPILER_PARAMS,
         interpret=rp.INTERPRET,
-    )(plan["table"], plan["fzT"], plan["fyT"], plan["fxT"], vals, grid0)
+    )(plan["table"], plan["fzT"], plan["fyT"], plan["fxT"], vals, acc)
+    return padded
 
-    core = padded[: geo.D, : geo.H, : geo.W, :]
+
+def crop_acc(cfg, acc):
+    """Slice the padded accumulator into flat ``(feat [V, C], w [V, 1])``."""
+    geo = sorted_geo(cfg)
+    core = acc[: geo.D, : geo.H, : geo.W, :]
     V = geo.D * geo.H * geo.W
     feat_grid = core[..., : geo.C].reshape(V, geo.C)
     w_grid = core[..., geo.C: geo.C1].reshape(V, 1)
-    return (feat_grid, w_grid), plan
+    return feat_grid, w_grid
 
 
-def sorted_splat_bwd(cfg, plan, R, g_feat_grid):
-    """Adjoint gather: per-sample grads from the padded gradient grid,
-    un-sorted and summed over march steps -> ``g_encoding [R, C]``."""
+def sorted_splat_fwd(cfg, geom, diff):
+    """Single-launch sorted splat (no chunking); returns flat
+    ``(feat [V, C], weight [V, 1])`` plus the plan (reused by the bw
+    pass).  The production path chunks rays and threads the accumulator
+    (``ops/splatter.py:_sorted_fwd_impl``)."""
+    geo = sorted_geo(cfg)
+    plan = sorted_plan(cfg, geom)
+    vals = sorted_vals(geo, plan, diff[0], geom[5])
+    acc = jnp.zeros((geo.PZ, geo.PY, geo.PXp, CPAD), jnp.float32)
+    acc = sorted_splat_acc(cfg, plan, vals, acc)
+    return crop_acc(cfg, acc), plan
+
+
+def pad_grad_grid(cfg, g_feat_grid):
+    """Pad the flat incoming gradient ``[V, C]`` to the kernel's
+    ``[PZ, PY, PXp, CPAD]`` box layout (done once per backward, shared by
+    every ray chunk)."""
+    geo = sorted_geo(cfg)
+    gg = g_feat_grid.reshape(geo.D, geo.H, geo.W, geo.C)
+    return jnp.pad(
+        gg,
+        ((0, geo.PZ - geo.D), (0, geo.PY - geo.H), (0, geo.PXp - geo.W),
+         (0, CPAD - geo.C)),
+    )
+
+
+def sorted_splat_bwd(cfg, plan, R, gg):
+    """Adjoint gather: per-sample grads from the padded gradient grid
+    ``gg [PZ, PY, PXp, CPAD]`` (see :func:`pad_grad_grid`), un-sorted and
+    summed over march steps -> ``g_encoding [R, C]``."""
     geo = sorted_geo(cfg)
     S = cfg.tot_num_samples
     BZ = BY = geo.SUP + 1
     n_groups_cap = plan["fzT"].shape[0] // BIN
     Npad = n_groups_cap * GBINS * BIN
-
-    gg = g_feat_grid.reshape(geo.D, geo.H, geo.W, geo.C)
-    gg = jnp.pad(
-        gg,
-        ((0, geo.PZ - geo.D), (0, geo.PY - geo.H), (0, geo.PXp - geo.W),
-         (0, CPAD - geo.C)),
-    )
 
     kernel = _build_bw_kernel(geo)
     smem = pl.BlockSpec((8, 128), lambda g: (g // 8, 0),

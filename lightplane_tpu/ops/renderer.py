@@ -40,6 +40,7 @@ import jax.numpy as jnp
 
 from .const import MIN_BLOCK_SIZE
 from .grid_sample import sample_grid_rep
+from .guards import assert_grads_finite
 from .misc_utils import (
     check_grid_and_color_grid,
     process_and_flatten_grid,
@@ -372,7 +373,9 @@ def _render_bwd(cfg: _RenderCfg, res, g_out):
     (_, _, g_grid, g_cgrid, g_mlp, g_enc), _ = jax.lax.scan(body, init, steps)
 
     g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
-    return g_geom, (g_grid, g_cgrid, g_mlp, g_enc)
+    return g_geom, assert_grads_finite(
+        (g_grid, g_cgrid, g_mlp, g_enc), "renderer(scan)"
+    )
 
 
 _render_core.defvjp(_render_fwd, _render_bwd)
@@ -405,7 +408,9 @@ def _render_bwd_pallas(cfg, res, g_out):
         cfg, geom, diff, nlt_final, g_out
     )
     g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
-    return g_geom, (g_grid, g_cgrid, g_mlp, g_enc)
+    return g_geom, assert_grads_finite(
+        (g_grid, g_cgrid, g_mlp, g_enc), "renderer(pallas)"
+    )
 
 
 _render_core_pallas.defvjp(_render_fwd_pallas, _render_bwd_pallas)

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .grid_sample import sample_grid_rep, splat_grid_rep
+from .guards import assert_grads_finite
 from .misc_utils import (
     check_grid_and_color_grid,
     process_and_flatten_grid,
@@ -228,7 +229,9 @@ def _splat_bwd(cfg: _SplatCfg, res, g_out):
         body, init, jnp.arange(cfg.tot_num_samples)
     )
     g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
-    return g_geom, (g_feat, g_igrid, g_mlp)
+    return g_geom, assert_grads_finite(
+        (g_feat, g_igrid, g_mlp), "splatter(scan)"
+    )
 
 
 _splat_core.defvjp(_splat_fwd, _splat_bwd)
@@ -264,7 +267,7 @@ def _splat_big_fwd_impl(cfg: _SplatCfg, geom, diff):
         sb.grid_infos(cfg.output_grid_sizes),
     )
     if _big_fallback_is_sorted(cfg):
-        fallback = lambda: _sorted_fwd_primal(cfg, geom, diff)
+        fallback = lambda: _sorted_fwd_impl(cfg, geom, diff)
     else:
         fallback = lambda: _splat_fwd_impl(cfg, geom, diff)
     out = jax.lax.cond(
@@ -286,7 +289,7 @@ def _splat_big_bwd(cfg: _SplatCfg, res, g_out):
     geom, (w0, fits, K, n_chunks) = res
     g_feat_grid, _g_w_grid = g_out  # weight cotangent ignored (see above)
     if _big_fallback_is_sorted(cfg):
-        fallback = lambda: _sorted_bwd_encoding(cfg, geom, g_feat_grid)
+        fallback = lambda: _sorted_bwd_impl(cfg, geom, g_feat_grid)
     else:
         fallback = lambda: _splat_bwd_gather_scan(cfg, geom, g_feat_grid)
     g_enc = jax.lax.cond(
@@ -295,7 +298,9 @@ def _splat_big_bwd(cfg: _SplatCfg, res, g_out):
         fallback,
     )
     g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
-    return g_geom, (g_enc, None, None)
+    return g_geom, assert_grads_finite(
+        (g_enc, None, None), "splatter(big)"
+    )
 
 
 _splat_core_big.defvjp(_splat_big_fwd, _splat_big_bwd)
@@ -306,89 +311,102 @@ _splat_core_big.defvjp(_splat_big_fwd, _splat_big_bwd)
 # (see kernels/splatter_sorted.py)
 # ---------------------------------------------------------------------------
 
+# samples per sorted-splat launch; larger ray sets are split into EQUAL ray
+# chunks scanned over one threaded HBM accumulator.  Equal shapes + lax.scan
+# keep exactly one chunk's sort/stream buffers live (round 1's unequal
+# unrolled chunks defeated XLA buffer reuse -> 17.6 GiB temp -> OOM on the
+# 16 GB v5e at the reference 160^3x64 splatter benchmark config).
+_SORTED_CHUNK_SAMPLES = 4_194_304
+
+
+def _sorted_chunk_shape(R: int, S: int):
+    n_chunks = max(1, -(-(R * S) // _SORTED_CHUNK_SAMPLES))
+    chunk_r = -(-R // n_chunks)
+    return n_chunks, chunk_r
+
+
+def _pad_rows(a, n):
+    if a.shape[0] == n:
+        return a
+    return jnp.pad(a, ((0, n - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
+
+
+def _sorted_fwd_impl(cfg: _SplatCfg, geom, diff):
+    """Chunk-scanned sorted splat: pad rays to equal chunks (padding rows
+    have valid_mask=0 so the plan kills them via the _BIG coord sentinel),
+    then scan the chunks over one padded HBM accumulator."""
+    from .kernels import splatter_sorted as ss
+
+    geo = ss.sorted_geo(cfg)
+    R = geom[0].shape[0]
+    n_chunks, chunk_r = _sorted_chunk_shape(R, cfg.tot_num_samples)
+    Rp = n_chunks * chunk_r
+    stack = lambda a: _pad_rows(a, Rp).reshape(
+        (n_chunks, chunk_r) + a.shape[1:]
+    )
+    xs = tuple(stack(a) for a in geom) + (stack(diff[0]),)
+    acc0 = jnp.zeros((geo.PZ, geo.PY, geo.PXp, ss.CPAD), jnp.float32)
+
+    def body(acc, xs_c):
+        geom_c, feat_c = xs_c[:-1], xs_c[-1]
+        plan = ss.sorted_plan(cfg, geom_c)
+        vals = ss.sorted_vals(geo, plan, feat_c, geom_c[5])
+        return ss.sorted_splat_acc(cfg, plan, vals, acc), None
+
+    if n_chunks == 1:
+        acc, _ = body(acc0, tuple(a[0] for a in xs))
+    else:
+        acc, _ = jax.lax.scan(body, acc0, xs)
+    return ss.crop_acc(cfg, acc)
+
+
+def _sorted_bwd_impl(cfg: _SplatCfg, geom, g_feat_grid):
+    """Chunk-scanned sorted-splat adjoint; re-derives each chunk's plan
+    from the geometry (the sort is deterministic, so recompute beats
+    saving the large per-chunk plan tables as residuals)."""
+    from .kernels import splatter_sorted as ss
+
+    R = geom[0].shape[0]
+    n_chunks, chunk_r = _sorted_chunk_shape(R, cfg.tot_num_samples)
+    Rp = n_chunks * chunk_r
+    stack = lambda a: _pad_rows(a, Rp).reshape(
+        (n_chunks, chunk_r) + a.shape[1:]
+    )
+    geom_s = tuple(stack(a) for a in geom)
+    gg = ss.pad_grad_grid(cfg, g_feat_grid)  # shared by every chunk
+
+    def body(_, geom_c):
+        plan = ss.sorted_plan(cfg, geom_c)
+        g_enc = ss.sorted_splat_bwd(cfg, plan, chunk_r, gg)
+        return 0, g_enc * geom_c[5][:, None]
+
+    if n_chunks == 1:
+        _, g_enc = body(0, tuple(a[0] for a in geom_s))
+    else:
+        _, gs = jax.lax.scan(body, 0, geom_s)
+        g_enc = gs.reshape(Rp, gs.shape[-1])
+    return g_enc[:R]
+
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _splat_core_sorted(cfg: _SplatCfg, geom, diff):
-    from .kernels import splatter_sorted as ss
-
-    out, _plan = ss.sorted_splat_fwd(cfg, geom, diff)
-    return out
+    return _sorted_fwd_impl(cfg, geom, diff)
 
 
 def _splat_sorted_fwd(cfg, geom, diff):
-    from .kernels import splatter_sorted as ss
-
-    out, plan = ss.sorted_splat_fwd(cfg, geom, diff)
-    return out, (plan, geom)
+    return _sorted_fwd_impl(cfg, geom, diff), geom
 
 
-def _splat_sorted_bwd(cfg: _SplatCfg, res, g_out):
-    from .kernels import splatter_sorted as ss
-
-    plan, geom = res
+def _splat_sorted_bwd(cfg: _SplatCfg, geom, g_out):
     g_feat_grid, _g_w_grid = g_out  # weight cotangent ignored (see above)
-    g_enc = ss.sorted_splat_bwd(cfg, plan, geom[0].shape[0], g_feat_grid)
-    g_enc = g_enc * geom[5][:, None]  # valid_mask factor from the fwd
+    g_enc = _sorted_bwd_impl(cfg, geom, g_feat_grid)
     g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
-    return g_geom, (g_enc, None, None)
+    return g_geom, assert_grads_finite(
+        (g_enc, None, None), "splatter(sorted)"
+    )
 
 
 _splat_core_sorted.defvjp(_splat_sorted_fwd, _splat_sorted_bwd)
-
-# samples per sorted-splat launch; larger ray sets are split into chunks of
-# rays whose linear accumulators sum (keeps the O(R*S) sort/stream
-# footprint bounded)
-_SORTED_CHUNK_SAMPLES = 8_388_608
-
-
-def _sorted_chunk_ranges(R: int, S: int):
-    chunk_r = max(1, _SORTED_CHUNK_SAMPLES // S)
-    return [(lo, min(R, lo + chunk_r)) for lo in range(0, R, chunk_r)]
-
-
-def _splat_core_sorted_chunked(cfg: _SplatCfg, geom, diff):
-    R = geom[0].shape[0]
-    feat_grid, w_grid = None, None
-    for lo, hi in _sorted_chunk_ranges(R, cfg.tot_num_samples):
-        geom_c = tuple(a[lo:hi] for a in geom)
-        diff_c = (diff[0][lo:hi], diff[1], diff[2])
-        f, w = _splat_core_sorted(cfg, geom_c, diff_c)
-        feat_grid = f if feat_grid is None else feat_grid + f
-        w_grid = w if w_grid is None else w_grid + w
-    return feat_grid, w_grid
-
-
-def _sorted_fwd_primal(cfg: _SplatCfg, geom, diff):
-    """Chunked sorted-splat primal without the custom-vjp wrapper (used as
-    the big path's runtime fallback branch, where the outer custom_vjp
-    already owns differentiation)."""
-    from .kernels import splatter_sorted as ss
-
-    R = geom[0].shape[0]
-    feat_grid, w_grid = None, None
-    for lo, hi in _sorted_chunk_ranges(R, cfg.tot_num_samples):
-        geom_c = tuple(a[lo:hi] for a in geom)
-        diff_c = (diff[0][lo:hi], diff[1], diff[2])
-        (f, w), _plan = ss.sorted_splat_fwd(cfg, geom_c, diff_c)
-        feat_grid = f if feat_grid is None else feat_grid + f
-        w_grid = w if w_grid is None else w_grid + w
-    return feat_grid, w_grid
-
-
-def _sorted_bwd_encoding(cfg: _SplatCfg, geom, g_feat_grid):
-    """Chunked sorted-splat adjoint; re-derives each chunk's plan from the
-    geometry (the sort is deterministic, so recompute beats carrying the
-    plan through a ``lax.cond`` residual)."""
-    from .kernels import splatter_sorted as ss
-
-    R = geom[0].shape[0]
-    parts = []
-    for lo, hi in _sorted_chunk_ranges(R, cfg.tot_num_samples):
-        geom_c = tuple(a[lo:hi] for a in geom)
-        plan = ss.sorted_plan(cfg, geom_c)
-        g_enc = ss.sorted_splat_bwd(cfg, plan, hi - lo, g_feat_grid)
-        parts.append(g_enc * geom_c[5][:, None])
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
 def _use_sorted_splat(cfg, impl: str) -> bool:
@@ -400,12 +418,15 @@ def _use_sorted_splat(cfg, impl: str) -> bool:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    from .kernels import splatter_big as sb
     from .kernels import splatter_pallas as sp
 
+    # For grids beyond VMEM the sorted kernel is the auto choice for ANY
+    # ray order: its HBM traffic is one accumulator pass + the sample
+    # streams, vs the boxed-DMA kernel re-streaming a z/y-window x full-x
+    # box per (ray-block, chunk) (~150x more bytes at the reference
+    # 160^3x64 bench config).  The boxed kernel remains via impl="big".
     return (
         not sp.pallas_splatter_supported(cfg)
-        and not sb.big_splat_supported(cfg)
         and ss.sorted_splat_supported(cfg)
     )
 
@@ -435,7 +456,9 @@ def _splat_bwd_pallas(cfg, res, g_out):
     g_feat_grid, _g_w_grid = g_out  # weight cotangent ignored (see above)
     g_enc, g_igrid, g_mlp = sp.pallas_splat_bwd(cfg, geom, diff, g_feat_grid)
     g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
-    return g_geom, (g_enc, g_igrid, g_mlp)
+    return g_geom, assert_grads_finite(
+        (g_enc, g_igrid, g_mlp), "splatter(pallas)"
+    )
 
 
 _splat_core_pallas.defvjp(_splat_fwd_pallas, _splat_bwd_pallas)
@@ -463,9 +486,13 @@ def _use_big_splat(cfg, impl: str) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     from .kernels import splatter_pallas as sp
+    from .kernels import splatter_sorted as ss
 
+    # auto-picked only where the sorted kernel cannot go (e.g. multi-grid
+    # boxable lists); see _use_sorted_splat for why sorted wins otherwise
     return (
         not sp.pallas_splatter_supported(cfg)
+        and not ss.sorted_splat_supported(cfg)
         and sb.big_splat_supported(cfg)
     )
 
@@ -553,7 +580,7 @@ def _run_splatter(
         mlp_params.mlp_params if mlp_params is not None else None,
     )
     if _use_sorted_splat(cfg, impl):
-        core = _splat_core_sorted_chunked
+        core = _splat_core_sorted
     elif _use_big_splat(cfg, impl):
         core = _splat_core_big
     elif _use_pallas_splat(cfg, impl):

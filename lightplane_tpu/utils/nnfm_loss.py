@@ -5,6 +5,14 @@ nearest-neighbor feature matching loss): nearest-neighbor cosine matching of
 deep feature maps, Gram-matrix matching, content matching, and the linear
 color transfer ``match_colors_for_image_set``.
 
+Provenance: the algorithms here are the published ARF method ("Artistic
+Radiance Fields", Zhang et al., ECCV 2022; BSD-licensed reference
+implementation, which the lightplane reference repo vendors verbatim).
+This module re-derives the same math in JAX — the color transfer as
+whitening/recoloring via PSD matrix square roots, the NNFM loss as a
+cosine-NN gather — with a pluggable feature extractor instead of the
+hard-coded torchvision VGG-16.
+
 The loss math is pure JAX and works over any ``[C, H, W]`` feature maps.
 Feature extraction is pluggable: :class:`NNFMLoss` takes any callable
 ``features_fn(images_nchw, layer_ids) -> [features...]``.  The reference
@@ -32,43 +40,50 @@ import numpy as np
 VGG_BLOCK_INDEXES = [[1, 3], [6, 8], [11, 13, 15], [18, 20, 22], [25, 27, 29]]
 
 
+def _moments(pixels: jnp.ndarray):
+    """Mean ``[1, 3]`` and covariance ``[3, 3]`` of a ``[M, 3]`` pixel set."""
+    mean = pixels.mean(0, keepdims=True)
+    centered = pixels - mean
+    return mean, centered.T @ centered / pixels.shape[0]
+
+
+def _psd_power(mat: jnp.ndarray, exponent: float) -> jnp.ndarray:
+    """``mat ** exponent`` for a symmetric PSD matrix, via its eigensystem
+    (eigenvalues clipped to [1e-8, 1e8] for invertibility)."""
+    eigval, eigvec = jnp.linalg.eigh(mat)
+    powed = jnp.clip(eigval, 1e-8, 1e8) ** exponent
+    return (eigvec * powed[None, :]) @ eigvec.T
+
+
 def match_colors_for_image_set(image_set: jnp.ndarray, style_img: jnp.ndarray):
-    """Linear color transfer matching image_set's color covariance to the
-    style image's (reference ``nnfm_loss.py:16-53``).
+    """Linear color transfer mapping image_set's color statistics onto the
+    style image's: whiten with ``cov_content^-1/2``, recolor with
+    ``cov_style^1/2``, re-center (the ARF color-transfer step; reference
+    behavior ``nnfm_loss.py:16-53``).
 
     Args:
         image_set: ``[N, H, W, 3]``.
         style_img: ``[Hs, Ws, 3]``.
 
     Returns:
-        (recolored ``[N, H, W, 3]`` clipped to [0, 1], ``[4, 4]`` color
-        transform with the 3x3 matrix and translation in the last column).
+        (recolored ``[N, H, W, 3]`` clipped to [0, 1], ``[4, 4]`` affine
+        color transform with the 3x3 matrix and translation in the last
+        column).
     """
-    sh = image_set.shape
-    x = image_set.reshape(-1, 3)
-    s = style_img.reshape(-1, 3)
+    shape = image_set.shape
+    content = image_set.reshape(-1, 3)
+    mean_c, cov_c = _moments(content)
+    mean_s, cov_s = _moments(style_img.reshape(-1, 3))
 
-    mu_c = x.mean(0, keepdims=True)
-    mu_s = s.mean(0, keepdims=True)
-    cov_c = (x - mu_c).T @ (x - mu_c) / x.shape[0]
-    cov_s = (s - mu_s).T @ (s - mu_s) / s.shape[0]
+    linear = _psd_power(cov_s, 0.5) @ _psd_power(cov_c, -0.5)
+    offset = mean_s - mean_c @ linear.T
 
-    # eigh on symmetric PSD covariances == their SVD (reference uses svd)
-    sig_c, u_c = jnp.linalg.eigh(cov_c)
-    sig_s, u_s = jnp.linalg.eigh(cov_s)
-    scl_c = jnp.diag(1.0 / jnp.sqrt(jnp.clip(sig_c, 1e-8, 1e8)))
-    scl_s = jnp.diag(jnp.sqrt(jnp.clip(sig_s, 1e-8, 1e8)))
+    recolored = jnp.clip(content @ linear.T + offset, 0.0, 1.0)
 
-    tmp_mat = u_s @ scl_s @ u_s.T @ u_c @ scl_c @ u_c.T
-    tmp_vec = mu_s - mu_c @ tmp_mat.T
-
-    x = x @ tmp_mat.T + tmp_vec
-    x = jnp.clip(x, 0.0, 1.0).reshape(sh)
-
-    color_tf = jnp.eye(4)
-    color_tf = color_tf.at[:3, :3].set(tmp_mat)
-    color_tf = color_tf.at[:3, 3].set(tmp_vec[0])
-    return x, color_tf
+    affine = jnp.eye(4)
+    affine = affine.at[:3, :3].set(linear)
+    affine = affine.at[:3, 3].set(offset[0])
+    return recolored.reshape(shape), affine
 
 
 def _normalize_chn(a: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
