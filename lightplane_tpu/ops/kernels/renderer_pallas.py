@@ -131,12 +131,29 @@ def grid_infos(grid_sizes) -> Tuple[_GridInfo, ...]:
 
 
 def pallas_renderer_supported(cfg) -> bool:
-    """Whether the fused Pallas kernels can run this config."""
+    """Whether the fused Pallas kernels can run this config.
+
+    Sub-grids up to ``MAX_CELLS_PER_GRID`` run the dense/windowed stencil
+    kernels; bigger voxel grids run the W3 boxed-DMA kernels
+    (``renderer_w3.py``) when eligible — with a runtime coherence-fit
+    fallback to the XLA scan inside the call."""
     all_sizes = list(cfg.grid_sizes) + list(cfg.color_grid_sizes or ())
-    for (b, d, h, w, c) in all_sizes:
-        if b * d * h * w > MAX_CELLS_PER_GRID:
-            return False
-    return True
+    if all(
+        b * d * h * w <= MAX_CELLS_PER_GRID
+        for (b, d, h, w, c) in all_sizes
+    ):
+        return True
+    from . import renderer_w3 as rw3
+
+    return rw3.w3_supported(cfg)
+
+
+def _w3_mode(cfg) -> bool:
+    all_sizes = list(cfg.grid_sizes) + list(cfg.color_grid_sizes or ())
+    return any(
+        b * d * h * w > MAX_CELLS_PER_GRID
+        for (b, d, h, w, c) in all_sizes
+    )
 
 
 def _scaffold_gate_base(cfg, geom, R_pad):
@@ -1638,7 +1655,14 @@ def _packed_layer_shapes(cfg, n_mlp, w2=False):
 
 def _march_chunk(cfg, bw=False, windowed=False):
     """Steps batched per loop iteration (padded loop; see kernel bodies)."""
-    if bw:
+    if _w3_mode(cfg):
+        # W3 window z-extents budget the per-chunk depth span (z-span ~
+        # tile footprint + K*step); with the 8x8-pixel W3 tiles K=8 keeps
+        # 8-cell z windows viable for orbit cameras at 64^3/256 samples.
+        # One K for fw and bw keeps the box DMA count equal in both
+        # passes.
+        k = MARCH_CHUNK
+    elif bw:
         k = MARCH_CHUNK_BW_WIN if windowed else MARCH_CHUNK_BW
     else:
         k = MARCH_CHUNK
@@ -1855,7 +1879,7 @@ def _chunk_decoder(cfg, grid_ref, cgrid_ref, samplers, csamplers, mask_m,
 
 
 def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
-                     wmaps=None, w2maps=None):
+                     wmaps=None, w2maps=None, w3maps=None):
     n_t, n_o, n_c = n_mlp
     C_col = cfg.n_hidden_color[-1]
     has_cgrid = cfg.color_grid_sizes is not None
@@ -1865,12 +1889,22 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
     w2 = w2maps is not None
     if w2:
         w2infos, w2_main_idx, w2_color_idx = w2maps
+    w3 = w3maps is not None
+    if w3:
+        from . import renderer_w3 as rw3
+
+        w3geos = w3maps
 
     def kernel(*refs):
+        if w3:
+            n_w3scr = len(w3geos) + 1  # boxes + DMA sem array
+            w3_scr = refs[-n_w3scr:]
+            w3_boxes, w3_sems = list(w3_scr[:-1]), w3_scr[-1]
+            refs = refs[:-n_w3scr]
         (o_ref, d_ref, near_ref, far_ref, gsel_ref, enc_ref,
          seed_ref) = refs[:7]
         rest = refs[7:]
-        if windowed or w2:
+        if windowed or w2 or w3:
             w0_ref = rest[0]
             rest = rest[1:]
         if cfg.use_scaffold:
@@ -1946,7 +1980,14 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
             t_cols, dv_cols, pts_ks, mask_m, noise_i1 = _chunk_geom(
                 cfg, cr, ci,
             )
-            if w2:
+            if w3:
+                all_s = rw3.make_w3_samplers(
+                    w3geos, [grid_ref] + ([cgrid_ref] if has_cgrid else []),
+                    w3_boxes, w3_sems, pts_ks, w0_ref, pid, ci,
+                )
+                samplers = all_s[:1]
+                csamplers = all_s[1:] if has_cgrid else None
+            elif w2:
                 samplers, csamplers = _make_w2_samplers(
                     cfg, pc, infos, cinfos, iotas_list, ciotas_list,
                     w2infos, w2_main_idx, w2_color_idx, pts_ks, cr.gsel,
@@ -2103,8 +2144,13 @@ def _pad_rays_to_block(arrs, R, B, mode="edge"):
 
 def _ray_block(cfg):
     """Per-call ray block size: the packed 2D-window path needs one
-    image tile per block (256 rays with the default 8x32 tiles);
-    everything else uses the default block."""
+    image tile per block (256 rays with the default 8x32 tiles); the W3
+    big-voxel path needs small 8x16 tiles so the block footprint fits its
+    3D windows; everything else uses the default block."""
+    if _w3_mode(cfg):
+        from .renderer_w3 import RAY_BLOCK_W3
+
+        return RAY_BLOCK_W3
     K = _march_chunk(cfg)
     infos = grid_infos(cfg.grid_sizes)
     cinfos = (grid_infos(cfg.color_grid_sizes)
@@ -2198,19 +2244,48 @@ def pallas_render_fwd(cfg, geom, diff):
     full = lambda shape: pl.BlockSpec(
         shape, lambda b: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    w3geos = None
+    if _w3_mode(cfg):
+        from . import renderer_w3 as rw3
+
+        pair = rw3.w3_geos(
+            cfg, grid_flat.shape[1],
+            None if color_grid_flat is None else color_grid_flat.shape[1],
+        )
+        if pair is None:
+            raise ValueError(
+                "impl='pallas' requested for a beyond-VMEM grid-list the "
+                "W3 kernels cannot run (see renderer_w3.w3_geos); use "
+                "impl='scan'."
+            )
+        w3geos = [pair[0]] + ([pair[1]] if pair[1] is not None else [])
+        grid_inputs = [
+            g.reshape(geo.D, geo.H, geo.W * geo.C)
+            for g, geo in zip(
+                [grid_flat] + (
+                    [color_grid_flat] if color_grid_flat is not None
+                    else []),
+                w3geos,
+            )
+        ]
+        grid_specs = [
+            pl.BlockSpec(memory_space=pl.ANY) for _ in grid_inputs
+        ]
+    else:
+        grid_inputs = [grid_flat] + (
+            [color_grid_flat] if color_grid_flat is not None else []
+        )
+        grid_specs = [full(g.shape) for g in grid_inputs]
+
     mlp_tensors = [*w_t, *b_t, *w_o, *b_o, *w_c, *b_c]
     in_specs = (
         ray_specs
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         + gate_specs
-        + [full(grid_flat.shape)]
-        + ([full(color_grid_flat.shape)]
-           if color_grid_flat is not None else [])
+        + grid_specs
         + [full(t.shape) for t in mlp_tensors]
     )
-    inputs = arrs + [seed] + gates + [grid_flat] + (
-        [color_grid_flat] if color_grid_flat is not None else []
-    ) + mlp_tensors
+    inputs = arrs + [seed] + gates + grid_inputs + mlp_tensors
 
     out_shape = [
         jax.ShapeDtypeStruct((R_pad, 1), jnp.float32),
@@ -2225,6 +2300,40 @@ def pallas_render_fwd(cfg, geom, diff):
         pl.BlockSpec((RB, C_col), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
     ]
+
+    if w3geos is not None:
+        K = _march_chunk(cfg)
+        w0_3, fits3 = rw3.w3_plan(
+            cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], K, False,
+            w3geos, RB,
+        )
+
+        def call_w3():
+            kernel = _build_fw_kernel(cfg, infos, cinfos, n_mlp,
+                                      t1_folded, w3maps=w3geos)
+            w0_spec = pl.BlockSpec(
+                (8, w0_3.shape[1]), lambda b: (b // 8, 0),
+                memory_space=pltpu.SMEM,
+            )
+            depth, nlt, feat = pl.pallas_call(
+                kernel,
+                grid=(n_blocks,),
+                in_specs=in_specs[:7] + [w0_spec] + in_specs[7:],
+                out_specs=out_specs,
+                out_shape=out_shape,
+                scratch_shapes=rw3.w3_scratch_shapes(w3geos, bw=False),
+                interpret=INTERPRET,
+                compiler_params=_COMPILER_PARAMS_FW,
+            )(*(inputs[:7] + [w0_3] + inputs[7:]))
+            return depth[:R, 0], nlt[:R, 0], feat[:R]
+
+        def call_scan():
+            from ..renderer import _render_fwd_impl
+
+            out, _nlt = _render_fwd_impl(cfg, geom, diff)
+            return out
+
+        return jax.lax.cond(fits3, call_w3, call_scan)
 
     # in_specs layout: arrs(6) + seed + grids + mlps; the windowed variant
     # inserts its per-(block, chunk, grid) window starts after the seed.
@@ -2294,7 +2403,8 @@ def pallas_render_fwd(cfg, geom, diff):
 # ---------------------------------------------------------------------------
 
 
-def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None):
+def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
+                     w3maps=None):
     n_t, n_o, n_c = n_mlp
     C_col = cfg.n_hidden_color[-1]
     has_cgrid = cfg.color_grid_sizes is not None
@@ -2304,11 +2414,24 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None):
     w2 = w2maps is not None
     if w2:
         w2infos, w2_main_idx, w2_color_idx = w2maps
+    w3 = w3maps is not None
+    if w3:
+        from . import renderer_w3 as rw3
+
+        w3geos = w3maps
     K_bw = _march_chunk(cfg, bw=True, windowed=windowed or w2)
     P_bw = _pack_factor(cfg, K_bw)
     n_scr = 2 * (n_t + n_o + n_c) if P_bw > 1 else 0
 
     def kernel(*refs):
+        if w3:
+            n_w3scr = 2 * len(w3geos) + 2  # boxes + gboxes + 2 sem arrays
+            w3_scr = refs[-n_w3scr:]
+            refs = refs[:-n_w3scr]
+            ng3 = len(w3geos)
+            w3_boxes = list(w3_scr[:ng3])
+            w3_gboxes = list(w3_scr[ng3: 2 * ng3])
+            w3_sems, w3_gsems = w3_scr[2 * ng3], w3_scr[2 * ng3 + 1]
         if n_scr:
             scr_refs = refs[-n_scr:]
             refs = refs[:-n_scr]
@@ -2319,7 +2442,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None):
         (o_ref, d_ref, near_ref, far_ref, gsel_ref, enc_ref, nltf_ref,
          gdepth_ref, gnlt_ref, gfeat_ref, seed_ref) = refs[:11]
         rest = refs[11:]
-        if windowed or w2:
+        if windowed or w2 or w3:
             w0_ref = rest[0]
             rest = rest[1:]
         if cfg.use_scaffold:
@@ -2334,6 +2457,10 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None):
             rest = rest[1:]
         else:
             cgrid_ref = None
+        if w3:
+            # aliased zero-init inputs for the HBM gradient grids (the
+            # kernel writes through the OUTPUT refs; these are ignored)
+            rest = rest[len(w3geos):]
         n_w = 2 * (n_t + n_o + n_c)
         mlp_refs = rest[:n_w]
         out_refs = rest[n_w:]
@@ -2352,12 +2479,14 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None):
         pid = pl.program_id(0)
         B = o_ref.shape[0]
 
-        # zero the accumulated outputs on the first program
+        # zero the accumulated outputs on the first program (the W3 HBM
+        # gradient grids are zero-initialized via their aliased inputs)
         @pl.when(pid == 0)
         def _():
-            ggrid_ref[...] = jnp.zeros_like(ggrid_ref)
-            if gcgrid_ref is not None:
-                gcgrid_ref[...] = jnp.zeros_like(gcgrid_ref)
+            if not w3:
+                ggrid_ref[...] = jnp.zeros_like(ggrid_ref)
+                if gcgrid_ref is not None:
+                    gcgrid_ref[...] = jnp.zeros_like(gcgrid_ref)
             for r in gmlp_refs:
                 r[...] = jnp.zeros_like(r)
 
@@ -2434,7 +2563,17 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None):
             # ---- batched recompute of the forward decoder ----
             # samplers built ONCE per chunk: shared by the sample here and
             # the gradient splat below (window position + stencils reused)
-            if w2:
+            if w3:
+                all_s = rw3.make_w3_samplers(
+                    w3geos, [grid_ref] + ([cgrid_ref] if has_cgrid else []),
+                    w3_boxes, w3_sems, pts_ks, w0_ref, pid, ci,
+                    gout_refs=[ggrid_ref] + (
+                        [gcgrid_ref] if has_cgrid else []),
+                    gbox_refs=w3_gboxes, gsems=w3_gsems,
+                )
+                samplers = all_s[:1]
+                csamplers = all_s[1:] if has_cgrid else None
+            elif w2:
                 samplers, csamplers = _make_w2_samplers(
                     cfg, pc, infos, cinfos, iotas_list, ciotas_list,
                     w2infos, w2_main_idx, w2_color_idx, pts_ks, cr.gsel,
@@ -2818,26 +2957,68 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
     full = lambda shape: pl.BlockSpec(
         shape, lambda b: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    w3geos = None
+    if _w3_mode(cfg):
+        from . import renderer_w3 as rw3
+
+        pair = rw3.w3_geos(
+            cfg, grid_flat.shape[1],
+            None if color_grid_flat is None else color_grid_flat.shape[1],
+        )
+        if pair is None:
+            raise ValueError(
+                "impl='pallas' requested for a beyond-VMEM grid-list the "
+                "W3 kernels cannot run (see renderer_w3.w3_geos); use "
+                "impl='scan'."
+            )
+        w3geos = [pair[0]] + ([pair[1]] if pair[1] is not None else [])
+        grid_inputs = [
+            g.reshape(geo.D, geo.H, geo.W * geo.C)
+            for g, geo in zip(
+                [grid_flat] + (
+                    [color_grid_flat] if color_grid_flat is not None
+                    else []),
+                w3geos,
+            )
+        ]
+        grid_specs = [
+            pl.BlockSpec(memory_space=pl.ANY) for _ in grid_inputs
+        ]
+        # zero-initialized HBM gradient accumulators, aliased to outputs
+        gzeros = [jnp.zeros_like(g) for g in grid_inputs]
+        gzero_specs = list(grid_specs)
+    else:
+        grid_inputs = [grid_flat] + (
+            [color_grid_flat] if color_grid_flat is not None else []
+        )
+        grid_specs = [full(g.shape) for g in grid_inputs]
+        gzeros, gzero_specs = [], []
+
     mlp_tensors = [*w_t, *b_t, *w_o, *b_o, *w_c, *b_c]
     in_specs = (
         ray_specs
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [full(grid_flat.shape)]
-        + ([full(color_grid_flat.shape)]
-           if color_grid_flat is not None else [])
+        + grid_specs
+        + gzero_specs
         + [full(t.shape) for t in mlp_tensors]
     )
-    inputs = arrs + [seed, grid_flat] + (
-        [color_grid_flat] if color_grid_flat is not None else []
-    ) + mlp_tensors
+    inputs = arrs + [seed] + grid_inputs + gzeros + mlp_tensors
 
-    out_shape = [jax.ShapeDtypeStruct(grid_flat.shape, jnp.float32)]
-    out_specs = [full(grid_flat.shape)]
-    if color_grid_flat is not None:
-        out_shape.append(
-            jax.ShapeDtypeStruct(color_grid_flat.shape, jnp.float32)
-        )
-        out_specs.append(full(color_grid_flat.shape))
+    if w3geos is not None:
+        out_shape = [
+            jax.ShapeDtypeStruct(g.shape, jnp.float32) for g in grid_inputs
+        ]
+        out_specs = [
+            pl.BlockSpec(memory_space=pl.ANY) for _ in grid_inputs
+        ]
+    else:
+        out_shape = [jax.ShapeDtypeStruct(grid_flat.shape, jnp.float32)]
+        out_specs = [full(grid_flat.shape)]
+        if color_grid_flat is not None:
+            out_shape.append(
+                jax.ShapeDtypeStruct(color_grid_flat.shape, jnp.float32)
+            )
+            out_specs.append(full(color_grid_flat.shape))
     for t in mlp_tensors:
         out_shape.append(jax.ShapeDtypeStruct(t.shape, jnp.float32))
         out_specs.append(full(t.shape))
@@ -2848,6 +3029,82 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         pl.BlockSpec((RB, rays_encoding.shape[1]), lambda b: (b, 0),
                      memory_space=pltpu.VMEM)
     )
+
+    def _repack(outs):
+        outs = list(outs)
+        g_grid = outs.pop(0)
+        g_cgrid = outs.pop(0) if color_grid_flat is not None else None
+        n_w = len(mlp_tensors)
+        g_mlp_tensors = outs[:n_w]
+        g_enc = outs[n_w][:R]
+        if w3geos is not None:
+            g_grid = g_grid.reshape(grid_flat.shape)
+            if g_cgrid is not None:
+                g_cgrid = g_cgrid.reshape(color_grid_flat.shape)
+        n_t, n_o, n_c = n_mlp
+        gw_t = g_mlp_tensors[:n_t]
+        gb_t = g_mlp_tensors[n_t: 2 * n_t]
+        rest_g = g_mlp_tensors[2 * n_t:]
+        gw_o = rest_g[:n_o]
+        gb_o = rest_g[n_o: 2 * n_o]
+        rest_g = rest_g[2 * n_o:]
+        gw_c = rest_g[:n_c]
+        gb_c = rest_g[n_c: 2 * n_c]
+        g_mlp = jnp.concatenate(
+            [g.reshape(-1) for g in (*gw_t, *gb_t)]
+            + [g.reshape(-1) for g in (*gw_o, *gb_o)]
+            + [g.reshape(-1) for g in (*gw_c, *gb_c)]
+        )
+        return g_grid, g_cgrid, g_mlp, g_enc
+
+    if w3geos is not None:
+        from . import renderer_w3 as rw3
+
+        K3 = _march_chunk(cfg, bw=True)
+        w0_3, fits3 = rw3.w3_plan(
+            cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], K3, True,
+            w3geos, RB,
+        )
+
+        def call_w3():
+            kernel = _build_bw_kernel(cfg, infos, cinfos, n_mlp,
+                                      w3maps=w3geos)
+            w0_spec = pl.BlockSpec(
+                (8, w0_3.shape[1]), lambda b: (b // 8, 0),
+                memory_space=pltpu.SMEM,
+            )
+            g_in, g_specs = gate_io(K3)
+            n_front = 12 + len(g_in)  # arrs(10) + seed + w0 + gates
+            aliases = {
+                n_front + len(grid_inputs) + i: i
+                for i in range(len(w3geos))
+            }
+            outs = pl.pallas_call(
+                kernel,
+                grid=(n_blocks,),
+                in_specs=in_specs[:11] + [w0_spec] + g_specs
+                + in_specs[11:],
+                out_specs=out_specs,
+                out_shape=out_shape,
+                scratch_shapes=(
+                    _bw_scratch_shapes(cfg, n_mlp, False)
+                    + rw3.w3_scratch_shapes(w3geos, bw=True)
+                ),
+                input_output_aliases=aliases,
+                interpret=INTERPRET,
+                compiler_params=_COMPILER_PARAMS,
+            )(*(inputs[:11] + [w0_3] + g_in + inputs[11:]))
+            return _repack(outs)
+
+        def call_scan():
+            from ..renderer import _render_bwd
+
+            _g_geom, grads = _render_bwd(
+                cfg, (geom, diff, nlt_final), (g_depth, g_nlt, g_feat)
+            )
+            return grads
+
+        return jax.lax.cond(fits3, call_w3, call_scan)
 
     def call_general():
         kernel = _build_bw_kernel(cfg, infos, cinfos, n_mlp)
@@ -2916,26 +3173,4 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         else:
             outs = fallback()
 
-    outs = list(outs)
-    g_grid = outs.pop(0)
-    g_cgrid = outs.pop(0) if color_grid_flat is not None else None
-    n_w = len(mlp_tensors)
-    g_mlp_tensors = outs[:n_w]
-    g_enc = outs[n_w][:R]
-
-    # repack per-layer grads into the flat mlp_params layout
-    n_t, n_o, n_c = n_mlp
-    gw_t = g_mlp_tensors[:n_t]
-    gb_t = g_mlp_tensors[n_t: 2 * n_t]
-    rest = g_mlp_tensors[2 * n_t:]
-    gw_o = rest[:n_o]
-    gb_o = rest[n_o: 2 * n_o]
-    rest = rest[2 * n_o:]
-    gw_c = rest[:n_c]
-    gb_c = rest[n_c: 2 * n_c]
-    g_mlp = jnp.concatenate(
-        [g.reshape(-1) for g in (*gw_t, *gb_t)]
-        + [g.reshape(-1) for g in (*gw_o, *gb_o)]
-        + [g.reshape(-1) for g in (*gw_c, *gb_c)]
-    )
-    return g_grid, g_cgrid, g_mlp, g_enc
+    return _repack(outs)

@@ -1,0 +1,373 @@
+"""W3: fused rendering of beyond-VMEM voxel grids (boxed-DMA sampler).
+
+The dense/windowed renderer kernels cap each sub-grid at
+``MAX_CELLS_PER_GRID`` because their sampling stencil is ``[M, V_g]``
+(``renderer_pallas.py``).  This module removes the cap for voxel grids —
+the reference samples any-size grids from GPU global memory
+(``triton_src/shared/grid_sample_util.py:1088-1186``, consumed by
+``templates/renderer_fw.py:254-265`` and the bw splat at
+``templates/renderer_bw.py:477-534``); the TPU-native equivalent keeps the
+grid in HBM and exploits march coherence:
+
+* The grid is laid out ``[D, H, W*C]`` — x folded into lanes, so the HBM
+  buffer has no 128-lane padding waste and a z/y/x box is one DMA: rows
+  ``[wz, wy]`` (y 8-aligned for the sublane tiling) and a 128-aligned
+  dynamic lane slice ``[x0*C, wx*C)`` for the x window.
+
+* A host-side planner bounds every (ray-block, chunk)'s **alive** sampling
+  corners.  Samples outside ``(-1, S)`` on any axis have an all-zero
+  trilinear stencil (they sample exactly 0 — the zeros-padding OOB
+  semantics), so the plan intersects each ray's alive depth interval with
+  the chunk's depth range and only bounds the remainder: background
+  (``num_samples_inf``) and beyond-the-volume samples never break the fit.
+
+* The kernel samples in two stages: a z/y hat-stencil matmul
+  ``st_zy [M, wz*wy] @ box [wz*wy, wx*C]`` on the MXU, then a cheap
+  strided x-hat contraction over the ``wx`` lane blocks on the VPU.  The
+  backward reverses both stages and read-modify-writes the gradient box
+  in HBM (two DMAs) — Pallas grid programs run sequentially per core, so
+  the revisiting accumulation is deterministic and race-free (the
+  replacement for the reference's ``tl.atomic_add`` splats).
+
+A single runtime fit flag selects (one ``lax.cond``) between these kernels
+and the XLA-scan fallback, so arbitrary (incoherent / contracted) rays
+remain correct.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Window extents (cells).  z starts are unaligned (untiled leading dim);
+# y starts are 8-aligned (sublane tiling), so WY covers span + 7 slack;
+# x starts are (128/C)-aligned lane offsets.  With 8x8-pixel ray tiles
+# (RAY_BLOCK_W3 rays) these budgets hold every orbit-style camera pose of
+# the benchmark configs at 64^3 with ~40% margin (measured per-axis block
+# spans <= 4.9 cells at 256^2 x 256 samples); the runtime fit flag guards
+# the rest.
+W3_Z = 8
+W3_Y = 16
+RAY_BLOCK_W3 = 64
+W3_TILE = (8, 8)
+_BIG = 3.0e37
+
+
+@dataclasses.dataclass(frozen=True)
+class _W3Geo:
+    D: int
+    H: int
+    W: int
+    C: int          # channels of the (possibly t1-folded) grid
+    WX: int         # x window cells
+    AX: int         # x start alignment (cells)
+
+    @property
+    def zy(self):
+        return W3_Z * W3_Y
+
+
+def _w3_geo(size, C) -> Optional[_W3Geo]:
+    b, d, h, w, _c = size
+    if b != 1 or d < W3_Z or h < W3_Y or w < 12:
+        return None
+    if 128 % math.gcd(C, 128):
+        return None
+    ax = 128 // math.gcd(C, 128)
+    wx = -(-12 // ax) * ax          # >= 12 cells, lane-aligned width
+    if wx > w:
+        return None
+    return _W3Geo(D=d, H=h, W=w, C=C, WX=wx, AX=ax)
+
+
+def w3_geos(cfg, c_main: int, c_color: Optional[int]):
+    """(main_geo, color_geo) or None when W3 cannot run this config.
+
+    W3 mode requires: no contraction (window bounds need depth-linear
+    coordinates), a single big voxel main grid, and a color grid that is
+    either absent or itself a single big voxel grid.  ``c_main`` is the
+    main grid's channel count AFTER any trunk-layer folding.
+    """
+    from .renderer_pallas import MAX_CELLS_PER_GRID
+
+    if cfg.contract_coords:
+        return None
+    if getattr(cfg, "compute_dtype", "float32") == "bfloat16":
+        return None  # f32 box scratch; bf16 grids keep the scan path
+    sizes = list(cfg.grid_sizes)
+    csizes = list(cfg.color_grid_sizes or ())
+    if len(sizes) != 1:
+        return None
+    (b, d, h, w, _c) = sizes[0]
+    if b * d * h * w <= MAX_CELLS_PER_GRID:
+        return None
+    main = _w3_geo(sizes[0], c_main)
+    if main is None:
+        return None
+    if not csizes:
+        return main, None
+    if len(csizes) != 1:
+        return None
+    (b2, d2, h2, w2, _c2) = csizes[0]
+    if b2 * d2 * h2 * w2 <= MAX_CELLS_PER_GRID:
+        return None  # mixed big-main + small-color: not implemented
+    color = _w3_geo(csizes[0], c_color)
+    if color is None:
+        return None
+    return main, color
+
+
+def w3_supported(cfg) -> bool:
+    """Static feasibility (used by ``pallas_renderer_supported``): channel
+    counts here are the raw grid channels — the t1 fold preserves
+    alignment feasibility because hidden widths are powers of two too."""
+    if len(cfg.grid_sizes) != 1:
+        return False
+    c_main = int(cfg.grid_sizes[0][-1])
+    if cfg.color_grid_sizes is None and len(cfg.n_hidden_trunk) > 1:
+        c_main = int(cfg.n_hidden_trunk[1])  # t1-folded width
+    c_color = (
+        int(cfg.color_grid_sizes[0][-1])
+        if cfg.color_grid_sizes else None
+    )
+    return w3_geos(cfg, c_main, c_color) is not None
+
+
+def w3_plan(cfg, origins, dirs, near, far, K, bw, geos, B):
+    """Host-side window starts + global fit flag.
+
+    For each (ray-block, chunk, grid): ``(z0, y0, x0)`` int32 starts
+    (y0 8-aligned, x0 AX-aligned) bounding every ALIVE sampling corner.
+    Alive = the sample's coordinates are inside ``(-1, S)`` on all three
+    axes; other samples have identically-zero stencils under any window.
+    Coordinates are linear in depth (no contraction in W3 mode), so each
+    ray's alive range is one interval whose endpoint coordinates bound
+    the chunk's alive extremes.
+
+    Returns ``(w0 [n_blocks_pad8, nc*3*G pad128] int32, fits_all)``.
+    """
+    from .renderer_pallas import _host_chunk_endpoint_depths
+
+    R = origins.shape[0]
+    n_blocks = R // B
+    t = _host_chunk_endpoint_depths(cfg, near, far, K, bw)  # [R, nc, 2]
+    nc = t.shape[1]
+    t_lo = jnp.min(t, axis=2)
+    t_hi = jnp.max(t, axis=2)
+
+    cols = []
+    fits = []
+    for geo in geos:
+        axes = ((2, geo.D, W3_Z, 1), (1, geo.H, W3_Y, 8),
+                (0, geo.W, geo.WX, geo.AX))
+        ab = {}
+        enter = jnp.full((R,), -_BIG)
+        exit_ = jnp.full((R,), _BIG)
+        for ax, S, _w, _a in axes:
+            a = ((origins[:, ax] + 1.0) * 0.5) * S - 0.5
+            b = dirs[:, ax] * (0.5 * S)
+            ab[ax] = (a, b)
+            pos = b > 1e-12
+            neg = b < -1e-12
+            bs = jnp.where(jnp.abs(b) > 1e-12, b, 1.0)
+            t_at_lo = (-1.0 - a) / bs     # f == -1
+            t_at_hi = (S * 1.0 - a) / bs  # f == S
+            e = jnp.where(pos, t_at_lo, jnp.where(neg, t_at_hi, -_BIG))
+            x = jnp.where(pos, t_at_hi, jnp.where(neg, t_at_lo, _BIG))
+            flat_dead = (~pos) & (~neg) & ~((a > -1.0) & (a < S))
+            e = jnp.where(flat_dead, _BIG, e)
+            x = jnp.where(flat_dead, -_BIG, x)
+            enter = jnp.maximum(enter, e)
+            exit_ = jnp.minimum(exit_, x)
+        ta = jnp.maximum(enter[:, None], t_lo)            # [R, nc]
+        tb = jnp.minimum(exit_[:, None], t_hi)
+        dead = ta > tb
+        for ax, S, wsize, align in axes:
+            a, b = ab[ax]
+            f1 = a[:, None] + ta * b[:, None]
+            f2 = a[:, None] + tb * b[:, None]
+            fmin = jnp.where(dead, _BIG, jnp.minimum(f1, f2))
+            fmax = jnp.where(dead, -_BIG, jnp.maximum(f1, f2))
+            fmin = fmin.reshape(n_blocks, B, nc).min(axis=1)
+            fmax = fmax.reshape(n_blocks, B, nc).max(axis=1)
+            empty = fmax < fmin                   # whole block-chunk dead
+            lo = jnp.floor(jnp.clip(fmin, -2.0, S + 2.0)).astype(jnp.int32)
+            hi = jnp.floor(
+                jnp.clip(fmax, -2.0, S + 2.0)
+            ).astype(jnp.int32) + 1
+            w0 = jnp.clip((lo // align) * align, 0, S - wsize)
+            cols.append(jnp.where(empty, 0, w0))
+            fits.append(empty | (jnp.minimum(hi, S - 1) - w0 < wsize))
+    # [n_blocks, nc, G*3] -> [n_blocks, nc * G * 3] chunk-major
+    w0 = jnp.stack(cols, axis=-1).reshape(n_blocks, -1)
+    w0 = jnp.pad(w0, ((0, (-n_blocks) % 8), (0, (-w0.shape[1]) % 128)))
+    return w0, jnp.all(jnp.stack(fits))
+
+
+class _W3Sampler:
+    """Per-(chunk, grid) boxed-DMA voxel sampler (``_GridSampler``
+    interface: sample / splat_accum / splat_accum_pieces).
+
+    The constructor starts the box DMA(s) so they overlap the chunk's
+    geometry and stencil work; ``sample`` waits once.  ``gout_ref`` /
+    ``gbox_ref`` are only given in the backward kernel.
+    """
+
+    def __init__(self, geo: _W3Geo, hbm_ref, box_ref, sem, pts_ks,
+                 w0z, w0y, w0x, gout_ref=None, gbox_ref=None, gsem=None):
+        self.geo = geo
+        self.box_ref = box_ref
+        self.w0z, self.w0y, self.w0x = w0z, w0y, w0x
+        self.gout_ref = gout_ref
+        self.gbox_ref = gbox_ref
+        self.gsem = gsem
+        cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, 0)
+        x = cat([p[:, 0:1] for p in pts_ks])
+        y = cat([p[:, 1:2] for p in pts_ks])
+        z = cat([p[:, 2:3] for p in pts_ks])
+        self.fx = ((x + 1.0) * 0.5) * geo.W - 0.5     # [M, 1] grid frame
+        self.fy = ((y + 1.0) * 0.5) * geo.H - 0.5
+        self.fz = ((z + 1.0) * 0.5) * geo.D - 0.5
+        self._st_zy = None
+        self._hx = None
+        self._waited = False
+
+        def box_slice(ref):
+            return ref.at[
+                pl.ds(w0z, W3_Z),
+                pl.ds(pl.multiple_of(w0y, 8), W3_Y),
+                pl.ds(pl.multiple_of(w0x * geo.C, 128), geo.WX * geo.C),
+            ]
+
+        self._box_slice = box_slice
+        self._dma = pltpu.make_async_copy(box_slice(hbm_ref), box_ref, sem)
+        self._dma.start()
+        if gbox_ref is not None:
+            # backward: prefetch the gradient box for the RMW splat.  The
+            # previous chunk's store was awaited, so overlap is safe.
+            self._gdma = pltpu.make_async_copy(
+                box_slice(gout_ref), gbox_ref, gsem)
+            self._gdma.start()
+
+    def _stencil_zy(self):
+        if self._st_zy is None:
+            li = jax.lax.broadcasted_iota(jnp.int32, (1, W3_Z * W3_Y), 1)
+            yv = (li % W3_Y).astype(jnp.float32) + self.w0y.astype(
+                jnp.float32)
+            zv = (li // W3_Y).astype(jnp.float32) + self.w0z.astype(
+                jnp.float32)
+            hz = jnp.maximum(0.0, 1.0 - jnp.abs(zv - self.fz))
+            hy = jnp.maximum(0.0, 1.0 - jnp.abs(yv - self.fy))
+            self._st_zy = hz * hy                       # [M, zy]
+        return self._st_zy
+
+    def _hx_cols(self):
+        if self._hx is None:
+            x0 = self.w0x.astype(jnp.float32)
+            self._hx = [
+                jnp.maximum(0.0, 1.0 - jnp.abs(x0 + xc - self.fx))
+                for xc in range(self.geo.WX)
+            ]                                           # WX x [M, 1]
+        return self._hx
+
+    def sample(self, ref):
+        del ref  # the HBM ref was bound at construction (DMA in flight)
+        geo = self.geo
+        if not self._waited:
+            self._dma.wait()
+            self._waited = True
+        g_win = self.box_ref[...].reshape(geo.zy, geo.WX * geo.C)
+        s1 = jnp.dot(self._stencil_zy(), g_win,
+                     preferred_element_type=jnp.float32)  # [M, WX*C]
+        hx = self._hx_cols()
+        out = None
+        for xc in range(geo.WX):
+            t = hx[xc] * s1[:, xc * geo.C:(xc + 1) * geo.C]
+            out = t if out is None else out + t
+        return out                                       # [M, C]
+
+    def _s1_grad(self, dval):
+        hx = self._hx_cols()
+        return jnp.concatenate(
+            [hx[xc] * dval for xc in range(self.geo.WX)], axis=1
+        )                                                # [M, WX*C]
+
+    def _rmw(self, upd):
+        geo = self.geo
+        self._gdma.wait()
+        self.gbox_ref[...] += upd.reshape(W3_Z, W3_Y, geo.WX * geo.C)
+        store = pltpu.make_async_copy(
+            self.gbox_ref, self._box_slice(self.gout_ref), self.gsem)
+        store.start()
+        store.wait()
+
+    def splat_accum(self, grad_ref, dval):
+        del grad_ref  # bound at construction (gout_ref)
+        upd = jax.lax.dot_general(
+            self._stencil_zy(), self._s1_grad(dval),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # [zy, WX*C]
+        self._rmw(upd)
+
+    def splat_accum_pieces(self, grad_ref, pieces, Mq):
+        del grad_ref
+        st = self._stencil_zy()
+        upd = None
+        for q, dq in enumerate(pieces):
+            s1g = self._s1g_piece(dq, q, Mq)
+            t = jax.lax.dot_general(
+                st[q * Mq:(q + 1) * Mq], s1g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            upd = t if upd is None else upd + t
+        self._rmw(upd)
+
+    def _s1g_piece(self, dq, q, Mq):
+        hx = self._hx_cols()
+        return jnp.concatenate(
+            [hx[xc][q * Mq:(q + 1) * Mq] * dq
+             for xc in range(self.geo.WX)], axis=1,
+        )
+
+
+def make_w3_samplers(geos, hbm_refs, box_refs, sems, pts_ks, w0_ref, pid,
+                     ci, gout_refs=None, gbox_refs=None, gsems=None):
+    """Per-chunk W3 samplers (main list then color list, one grid each)."""
+    n_g = len(geos)
+    out = []
+    for gi, geo in enumerate(geos):
+        base = ci * 3 * n_g + 3 * gi
+        out.append(_W3Sampler(
+            geo, hbm_refs[gi], box_refs[gi], sems.at[gi], pts_ks,
+            w0_ref[pid % 8, base],
+            w0_ref[pid % 8, base + 1],
+            w0_ref[pid % 8, base + 2],
+            gout_ref=None if gout_refs is None else gout_refs[gi],
+            gbox_ref=None if gbox_refs is None else gbox_refs[gi],
+            gsem=None if gsems is None else gsems.at[gi],
+        ))
+    return out
+
+
+def w3_scratch_shapes(geos, bw):
+    """Box (and bw: gradient-box) VMEM buffers + DMA semaphores."""
+    shapes = [
+        pltpu.VMEM((W3_Z, W3_Y, g.WX * g.C), jnp.float32) for g in geos
+    ]
+    if bw:
+        shapes += [
+            pltpu.VMEM((W3_Z, W3_Y, g.WX * g.C), jnp.float32)
+            for g in geos
+        ]
+    shapes.append(pltpu.SemaphoreType.DMA((len(geos),)))
+    if bw:
+        shapes.append(pltpu.SemaphoreType.DMA((len(geos),)))
+    return shapes

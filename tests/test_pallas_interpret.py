@@ -325,3 +325,72 @@ def test_pallas_scaffold_matches_scan():
         compare_one(a, b, f"scaffold/grad_{nm}")
     # the scaffold must actually gate something (not vacuous)
     assert float(jnp.mean(scaffold)) < 1.0
+
+
+def _w3_camera_rays(enc_dim, key, narrow=True):
+    """An 8x16-pixel pinhole image whose single 128-ray block satisfies
+    the W3 window budgets on a 32^3 grid (narrow fov, tight near/far)."""
+    h, w = 8, 16
+    n = h * w
+    ys, xs = jnp.meshgrid(
+        (jnp.arange(h) - (h - 1) / 2) / 80.0,
+        (jnp.arange(w) - (w - 1) / 2) / 80.0,
+        indexing="ij",
+    )
+    d = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(n)], axis=-1)
+    return lt.Rays(
+        directions=d,
+        origins=jnp.tile(jnp.array([[0.05, -0.1, -2.5]]), (n, 1)),
+        grid_idx=jnp.zeros((n,), jnp.int32),
+        near=jnp.full((n,), 1.6),
+        far=jnp.full((n,), 2.2),
+        encoding=jax.random.normal(key, (n, enc_dim)) * 0.1,
+    )
+
+
+@pytest.mark.parametrize("case", ["coherent", "incoherent", "relu_field"])
+def test_w3_big_voxel_matches_scan(case):
+    """W3 boxed-DMA big-voxel renderer (kernels/renderer_w3.py) vs scan:
+    a 32^3 grid exceeds MAX_CELLS_PER_GRID, so impl='pallas' runs the W3
+    kernels when the window plan fits (coherent camera-tile rays) and the
+    runtime cond falls back to scan otherwise (incoherent rays)."""
+    from lightplane_tpu.ops.kernels import renderer_w3 as rw3
+
+    res, chn = 32, 16
+    assert res ** 3 > rp.MAX_CELLS_PER_GRID
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    separate = case == "relu_field"
+    dp = random_decoder_params(
+        k1, input_chn=chn, hidden_chn=16,
+        n_layers_trunk=0 if separate else 2,
+        use_separate_color_grid=separate,
+    )
+    if case == "incoherent":
+        rays = random_rays(k2, 48, 1, encoding_dim=dp.n_hidden_color[0])
+    else:
+        rays = _w3_camera_rays(dp.n_hidden_color[0], k2)
+    grid = random_grid(k3, 1, chn, res, "voxel", scale=0.5)
+    cgrid = (
+        random_grid(k4, 1, chn, res, "voxel", scale=0.5)
+        if separate else None
+    )
+    kw = dict(num_samples=16, gain=1.2, color_grid=cgrid)
+
+    def loss(impl, g0, mp, enc):
+        r = dataclasses.replace(rays, encoding=enc)
+        d = dataclasses.replace(dp, mlp_params=mp)
+        out = lt.lightplane_renderer(r, [g0], d, impl=impl, **kw)
+        return sum(jnp.sum(o * (i + 1)) for i, o in enumerate(out)), out
+
+    args = (grid[0], dp.mlp_params, rays.encoding)
+    (l_s, out_s), g_s = jax.value_and_grad(
+        lambda *a: loss("scan", *a), argnums=(0, 1, 2), has_aux=True
+    )(*args)
+    (l_p, out_p), g_p = jax.value_and_grad(
+        lambda *a: loss("pallas", *a), argnums=(0, 1, 2), has_aux=True
+    )(*args)
+    for nm, a, b in zip(["depth", "nlt", "feat"], out_s, out_p):
+        compare_one(a, b, f"w3_{case}/{nm}")
+    for nm, a, b in zip(["g_grid", "g_mlp", "g_enc"], g_s, g_p):
+        compare_one(a, b, f"w3_{case}/grad_{nm}")
