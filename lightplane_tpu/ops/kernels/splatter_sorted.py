@@ -145,29 +145,51 @@ def _caps(geo: _SortedGeo, N: int):
     return n_bins_cap, n_groups_cap
 
 
-def _all_step_depths(cfg, near, far):
-    """[R, S] march depths (same schedule as ``_step_depth_delta`` /
-    ``_host_chunk_endpoint_depths``)."""
+def _grid_frame_coords(cfg, geo, origins, directions, near, far, step):
+    """Grid-frame (align_corners=False) coords for (ray geometry, step).
+
+    Shared by the pre-sort key pass (broadcast ``[R, S]`` inputs) and the
+    post-sort per-slot recompute (flat ``[Npad]`` inputs): the two passes
+    must produce *bitwise-identical* floats so a sample's hat weights match
+    the octet key it was sorted under — both call this one function with
+    identical elementwise expressions.
+    """
+    from ..naive_renderer import _contract_pi
+
     ns, ni = cfg.num_samples, cfg.num_samples_inf
-    S = cfg.tot_num_samples
-    s = jnp.arange(S, dtype=jnp.float32)[None]
-    nr = near[:, None]
-    fr = far[:, None]
+    s = step.astype(jnp.float32)
     if ns > 1:
-        lin = nr + (fr - nr) * (s / (ns - 1))
+        lin = near + (far - near) * (s / (ns - 1))
     else:
-        lin = jnp.broadcast_to(nr, (near.shape[0], S))
+        lin = jnp.broadcast_to(near, s.shape)
     if ni > 0:
         frac = (s - ns + 1.0) / ni
         n_disp = cfg.disparity_at_inf * frac + (1.0 - frac)
-        t = jnp.where(s < ns, lin, fr * (1.0 / n_disp))
+        t = jnp.where(s < ns, lin, far * (1.0 / n_disp))
     else:
         t = lin
-    return t
+    pts = origins + t[..., None] * directions
+    if cfg.contract_coords:
+        pts = _contract_pi(pts)
+    fx = ((pts[..., 0] + 1.0) * 0.5) * geo.W - 0.5
+    fy = ((pts[..., 1] + 1.0) * 0.5) * geo.H - 0.5
+    fz = ((pts[..., 2] + 1.0) * 0.5) * geo.D - 0.5
+    return fz, fy, fx, pts
 
 
 def sorted_plan(cfg, geom):
     """Phase A: sort samples into octet bins; build all kernel-side tables.
+
+    Performance shape (measured on v5e at the 160^3x64 bench chunking,
+    ~4.2M samples/chunk): a 5-stream ``lax.sort`` costs ~15x a 2-stream
+    one, and gathering narrow ``[N, 3]`` coordinate rows through the padded
+    slot map costs ~200 ms — so the plan sorts ONLY ``(key, sample_id)``
+    and *recomputes* each slot's coordinates from an 8-wide per-ray
+    geometry table (a small-source gather: ~44k rows), instead of carrying
+    the coordinates through the sort and slot gathers.  Dead samples
+    (invalid rays, masked OOB) get key ``n_keys`` — a trailing bucket that
+    is never binned, shrinking the padded stream instead of splatting
+    zeros.
 
     Returns a dict of device arrays (static shapes from ``_caps``):
       fzT/fyT/fxT  [n_groups_cap*BIN, GBINS] grid-frame sample coords,
@@ -176,9 +198,8 @@ def sorted_plan(cfg, geom):
                    (slab z/y starts, first, last, GBINS x (dz, dy, dx))
       ray_pad      [Npad] i32 ray index per padded slot (clipped)
       pos_orig     [N] i32 padded slot of each original sample
+                   (``Npad`` = dead: points at the bw pass's zero row)
     """
-    from ..naive_renderer import _contract_pi
-
     directions, origins, near, far, grid_idx, valid_mask = geom
     geo = sorted_geo(cfg)
     R = directions.shape[0]
@@ -190,26 +211,11 @@ def sorted_plan(cfg, geom):
     lz_n = geo.SUP // OCT
     lx_n = geo.n_loc_x
 
-    t = _all_step_depths(cfg, near, far)                       # [R, S]
-    pts = origins[:, None, :] + t[:, :, None] * directions[:, None, :]
-    if cfg.contract_coords:
-        pts = _contract_pi(pts)
-
-    # grid-frame (align_corners=False) per-axis coords
-    fx = ((pts[..., 0] + 1.0) * 0.5) * geo.W - 0.5
-    fy = ((pts[..., 1] + 1.0) * 0.5) * geo.H - 0.5
-    fz = ((pts[..., 2] + 1.0) * 0.5) * geo.D - 0.5
-
-    # fold per-sample masking into the coords: a _BIG coordinate has zero
-    # hat weight against every window cell, so the sample contributes (and
-    # costs) nothing
-    dead = ~(valid_mask[:, None] > 0)
-    if cfg.mask_out_of_bounds_samples:
-        inb = jnp.all(jnp.abs(pts) <= 1.0, axis=-1)
-        dead = dead | ~inb
-    fz = jnp.where(dead, _BIG, fz).reshape(N)
-    fy = jnp.where(dead, _BIG, fy).reshape(N)
-    fx = jnp.where(dead, _BIG, fx).reshape(N)
+    step = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (R, S))
+    fz, fy, fx, pts = _grid_frame_coords(
+        cfg, geo, origins[:, None, :], directions[:, None, :],
+        near[:, None], far[:, None], step,
+    )
 
     cz = jnp.clip(jnp.floor(fz), 0, geo.D - 1).astype(jnp.int32)
     cy = jnp.clip(jnp.floor(fy), 0, geo.H - 1).astype(jnp.int32)
@@ -219,13 +225,19 @@ def sorted_plan(cfg, geom):
     key = ((sz * geo.nsy + sy) * geo.n_loc
            + (lz * lz_n + ly) * lx_n + lx)
 
+    # dead samples -> trailing bucket (sorted past every live key, binned
+    # never)
+    dead = ~(valid_mask[:, None] > 0)
+    if cfg.mask_out_of_bounds_samples:
+        inb = jnp.all(jnp.abs(pts) <= 1.0, axis=-1)
+        dead = dead | ~inb
+    key = jnp.where(dead, geo.n_keys, key).reshape(N)
+
     idx = jnp.arange(N, dtype=jnp.int32)
-    key_s, fz_s, fy_s, fx_s, idx_s = jax.lax.sort(
-        (key, fz, fy, fx, idx), num_keys=1, is_stable=True
-    )
+    key_s, idx_s = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
 
     # per-octet sample counts from the sorted keys (binary searches; no
-    # scatters)
+    # scatters).  The n_keys bucket (dead) is excluded by construction.
     bounds = jnp.searchsorted(
         key_s, jnp.arange(geo.n_keys + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
@@ -244,9 +256,12 @@ def sorted_plan(cfg, geom):
         (gstart[:-1] * GBINS)[:, None] + obo
     ).reshape(geo.n_keys).astype(jnp.int32)
 
-    # padded slot of each sorted sample (for the bw un-sort)
-    rank = idx - jnp.take(bounds, key_s)  # idx == arange == sorted position
-    pos = (jnp.take(octet_bin_start, key_s) + rank // BIN) * BIN + rank % BIN
+    # padded slot of each sorted sample (for the bw un-sort); dead samples
+    # point past the stream at the bw zero row
+    rank = idx - jnp.take(bounds, jnp.minimum(key_s, geo.n_keys))
+    pos = (jnp.take(octet_bin_start, jnp.minimum(key_s, geo.n_keys - 1))
+           + rank // BIN) * BIN + rank % BIN
+    pos = jnp.where(key_s == geo.n_keys, Npad, pos)
     # orig-sample -> slot: invert the sort with a second sort
     _, pos_orig = jax.lax.sort((idx_s, pos), num_keys=1, is_stable=True)
 
@@ -263,16 +278,14 @@ def sorted_plan(cfg, geom):
     valid_slot = (rank0[:, None] + j) < cnt_b[:, None]
     src = jnp.where(valid_slot, src_base[:, None] + j, N).reshape(Npad)
 
-    # one row-gather for (fz, fy, fx); a sentinel row serves the padding
-    # slots.  The ray index is gathered as a separate int32 stream — NOT
-    # packed via bitcast into the float rows: small int bit patterns are
-    # f32 denormals, which the TPU flushes to zero in transit.
-    arr3 = jnp.stack([fz_s, fy_s, fx_s], axis=1)
-    sentinel = jnp.full((1, 3), _BIG, dtype=jnp.float32)
-    arr3 = jnp.concatenate([arr3, sentinel], axis=0)
-    arr3p = jnp.take(arr3, src, axis=0)                        # [Npad, 3]
-    ray_s = jnp.concatenate([idx_s // S, jnp.zeros((1,), jnp.int32)])
-    ray_pad = jnp.take(ray_s, src)                             # [Npad]
+    # per-slot sample id: one scalar gather over the (nearly-sorted) slot
+    # map; sentinel sample N -> ray R -> the geometry pad row
+    idx_s_app = jnp.concatenate(
+        [idx_s, jnp.full((1,), N, jnp.int32)]
+    )
+    slot_sample = jnp.take(idx_s_app, src)                     # [Npad]
+    ray_lin = slot_sample // S
+    ray_pad = jnp.minimum(ray_lin, R - 1)                      # [Npad]
 
     def groupT(col):
         return (
@@ -281,9 +294,28 @@ def sorted_plan(cfg, geom):
             .reshape(n_groups_cap * BIN, GBINS)
         )
 
-    fzT = groupT(arr3p[:, 0])
-    fyT = groupT(arr3p[:, 1])
-    fxT = groupT(arr3p[:, 2])
+    # recompute coords per slot, directly in the kernel's transposed
+    # layout: an 8-wide row gather from the [R+1, 8] geometry table plus
+    # elementwise math (bitwise-equal to the key pass — see
+    # _grid_frame_coords)
+    sampleT = groupT(slot_sample)                              # [ngcB, GB]
+    rayT = jnp.minimum(sampleT // S, R)
+    stepT = sampleT % S
+    g8 = jnp.concatenate(
+        [origins, directions, near[:, None], far[:, None]], axis=1
+    ).astype(jnp.float32)
+    g8 = jnp.concatenate([g8, jnp.zeros((1, 8), jnp.float32)], axis=0)
+    g8T = jnp.take(g8, rayT.reshape(-1), axis=0).reshape(
+        rayT.shape + (8,)
+    )
+    fzT, fyT, fxT, _ = _grid_frame_coords(
+        cfg, geo, g8T[..., 0:3], g8T[..., 3:6], g8T[..., 6], g8T[..., 7],
+        stepT,
+    )
+    pad_slot = sampleT == N
+    fzT = jnp.where(pad_slot, _BIG, fzT)
+    fyT = jnp.where(pad_slot, _BIG, fyT)
+    fxT = jnp.where(pad_slot, _BIG, fxT)
 
     # per-group SMEM table
     g = jnp.arange(n_groups_cap, dtype=jnp.int32)
@@ -567,5 +599,9 @@ def sorted_splat_bwd(cfg, plan, R, gg):
         interpret=rp.INTERPRET,
     )(plan["table"], plan["fzT"], plan["fyT"], plan["fxT"], gg)
 
+    # dead samples carry slot == Npad -> the appended zero row
+    g_stream = jnp.concatenate(
+        [g_stream, jnp.zeros((1, CPAD), g_stream.dtype)], axis=0
+    )
     g_sample = jnp.take(g_stream, plan["pos_orig"], axis=0)    # [N, CPAD]
     return g_sample.reshape(R, S, CPAD).sum(axis=1)[:, : geo.C]
