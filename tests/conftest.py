@@ -2,16 +2,20 @@ import os
 
 # Run the test-suite on a virtual 8-device CPU mesh: sharding/multi-chip tests
 # need multiple devices, and CPU keeps numerics reproducible for parity tests.
-os.environ["JAX_PLATFORMS"] = "cpu"  # override harness default (axon TPU)
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# LT_TPU_TESTS=1 skips the CPU override so the on-chip Mosaic parity suite
+# (tests/test_tpu_parity.py) can see the real TPU backend:
+#   LT_TPU_TESTS=1 python -m pytest tests/test_tpu_parity.py -q
+if not os.environ.get("LT_TPU_TESTS"):
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override harness default (axon TPU)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-# The env vars alone are not enough when a pytest plugin imported jax before
-# this conftest ran (jax snapshots JAX_PLATFORMS into its config at import
-# time) — force the config too, before any backend initializes.
-import jax  # noqa: E402
+    # The env vars alone are not enough when a pytest plugin imported jax
+    # before this conftest ran (jax snapshots JAX_PLATFORMS into its config
+    # at import time) — force the config too, before any backend initializes.
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

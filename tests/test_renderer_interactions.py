@@ -1,0 +1,202 @@
+"""Interaction parity sweep: pairs/triples of renderer config axes.
+
+Widens ``test_renderer_parity.py``'s one-factor-at-a-time sweep toward the
+reference's cartesian coverage (``tests/test_renderer_with_autograd.py:34-64``
+sweeps the full product of ~15 axes x 5 seeds).  A full cartesian product is
+hours of CPU compile time here, so this file covers the *interacting* pairs
+and triples the one-factor sweep cannot see (scaffold x contraction,
+color-grid x background-samples x masking, noise x scaffold, ...), each at
+5 seeds.  Configs are kept tiny and the loss is jitted so the extra seeds
+reuse the compilation cache — seeds are nearly free; variants are not.
+
+Also covers the ``num_samples_inf`` *gradient* case at the 1e-5
+``disparity_at_inf`` default: the main sweep compares it at 1e-3 because at
+1e-5 the t ~ 1/disparity background depths make the EA depth adjoint
+ill-conditioned in f32 — two exact-in-exact-arithmetic f32 schemes disagree
+beyond tolerance.  Here the oracle runs in f64 (``jax.enable_x64``) so the
+fused f32 path is judged against a well-conditioned reference instead of a
+fellow victim.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightplane_tpu import lightplane_renderer, lightplane_renderer_naive
+
+from .test_renderer_parity import BASE, _setup
+from .utils import compare_one
+
+# interacting pairs/triples (axis names as in BASE)
+INTERACTIONS = [
+    # scaffold x contraction: the scaffold's nearest-cell lookup runs on the
+    # *contracted* point — a sign/order bug is invisible to either axis alone
+    {"use_scaffold": True, "contract_coords": True},
+    # scaffold x separate color grid: gating must kill both opacity and the
+    # color-grid sample
+    {"use_scaffold": True, "separate_color_grid": True, "n_layers_trunk": 0},
+    # noise x scaffold: noise is injected pre-gate; gated samples must not
+    # consume RNG draws differently between the two implementations
+    {"inject_noise_sigma": 0.3, "use_scaffold": True},
+    # color-grid x background samples x masking (triple from VERDICT)
+    {"separate_color_grid": True, "n_layers_trunk": 0, "num_samples_inf": 4,
+     "disparity_at_inf": 1e-3, "mask_out_of_bounds_samples": True},
+    # contraction x background samples: contracted far-field points
+    {"contract_coords": True, "num_samples_inf": 4,
+     "disparity_at_inf": 1e-3},
+    # mixed grid-list x masking x noise
+    {"grid_type": "mixed", "mask_out_of_bounds_samples": True,
+     "inject_noise_sigma": 0.3},
+    # triplane x scaffold x gain
+    {"grid_type": "triplane", "use_scaffold": True, "gain": 3.0},
+    # deep trunk x contraction x non-block ray count
+    {"n_layers_trunk": 4, "contract_coords": True, "n_rays": 7},
+]
+
+N_SEEDS = 5
+
+
+def _run_all(cfg, seed):
+    """(fw outputs, grads) for naive and fused on identical inputs."""
+    rays, grid, color_grid, dp, kwargs = _setup(cfg, seed)
+    grid_flat = jnp.concatenate(
+        [g.reshape(-1, g.shape[-1]) for g in grid], axis=0
+    )
+    cgrid_flat = (
+        None if color_grid is None else jnp.concatenate(
+            [g.reshape(-1, g.shape[-1]) for g in color_grid], axis=0
+        )
+    )
+    splits = np.cumsum(
+        [int(np.prod(g.shape[:-1])) for g in grid]
+    )[:-1].tolist()
+    if color_grid is not None:
+        csplits = np.cumsum(
+            [int(np.prod(g.shape[:-1])) for g in color_grid]
+        )[:-1].tolist()
+
+    def run(fn, grid_flat, cgrid_flat, mlp_params, encoding):
+        rays_l = dataclasses.replace(rays, encoding=encoding)
+        parts = jnp.split(grid_flat, splits, axis=0)
+        g_in = [p.reshape(g.shape) for p, g in zip(parts, grid)]
+        cg_in = None
+        if color_grid is not None:
+            cparts = jnp.split(cgrid_flat, csplits, axis=0)
+            cg_in = [p.reshape(g.shape) for p, g in zip(cparts, color_grid)]
+        return fn(
+            rays_l, g_in, dataclasses.replace(dp, mlp_params=mlp_params),
+            color_grid=cg_in, **kwargs,
+        )
+
+    k_proj = jax.random.PRNGKey(1000 + seed)
+    out_shapes = jax.eval_shape(
+        lambda *a: run(lightplane_renderer_naive, *a),
+        grid_flat, cgrid_flat, dp.mlp_params, rays.encoding,
+    )
+    projs = [
+        jax.random.normal(k, o.shape)
+        for k, o in zip(jax.random.split(k_proj, 3), out_shapes)
+    ]
+
+    results = {}
+    for label, fn in [("naive", lightplane_renderer_naive),
+                      ("fused", lightplane_renderer)]:
+
+        @jax.jit
+        def fw_and_grads(grid_flat, cgrid_flat, mlp_params, encoding,
+                         projs, fn=fn):
+            def loss(*a):
+                out = run(fn, *a)
+                return (
+                    sum(jnp.sum(p * o) for p, o in zip(projs, out)), out
+                )
+
+            argnums = (0, 1, 2, 3) if color_grid is not None else (0, 2, 3)
+            grads, out = jax.grad(loss, argnums=argnums, has_aux=True)(
+                grid_flat, cgrid_flat, mlp_params, encoding
+            )
+            return out, grads
+
+        results[label] = fw_and_grads(
+            grid_flat, cgrid_flat, dp.mlp_params, rays.encoding, projs
+        )
+    return results
+
+
+@pytest.mark.parametrize("variant", range(len(INTERACTIONS)))
+def test_renderer_interactions(variant):
+    cfg = dict(
+        BASE, n_rays=20, resolution=5, num_samples=8,
+        **INTERACTIONS[variant],
+    )
+    for seed in range(N_SEEDS):
+        res = _run_all(cfg, seed)
+        out_n, g_n = res["naive"]
+        out_f, g_f = res["fused"]
+        for name, a, b in zip(["depth", "nlt", "features"], out_n, out_f):
+            compare_one(a, b, f"i{variant}/s{seed}/{name}")
+        names = (
+            ["grid", "color_grid", "mlp", "enc"]
+            if len(g_n) == 4 else ["grid", "mlp", "enc"]
+        )
+        for name, a, b in zip(names, g_n, g_f):
+            compare_one(a, b, f"i{variant}/s{seed}/grad_{name}")
+
+
+def test_background_samples_grad_at_default_disparity():
+    """Gradient parity for ``num_samples_inf > 0`` at the 1e-5
+    ``disparity_at_inf`` default, vs an f64 oracle.
+
+    The f32-vs-f32 comparison is ill-conditioned here (see module
+    docstring); the f64 oracle pins down the true gradient so the fused f32
+    path's error can be bounded meaningfully.  Tolerances are the standard
+    magnitude-scaled reference bounds: the fused path must land within f32
+    conditioning of the true value, not merely agree with another f32
+    scheme.
+    """
+    cfg = dict(BASE, n_rays=20, resolution=5, num_samples=8,
+               num_samples_inf=4, disparity_at_inf=1e-5)
+    for seed in range(3):
+        rays, grid, _color, dp, kwargs = _setup(cfg, seed)
+        grid0 = grid[0]
+
+        def loss(fn, g, mlp, enc, dtype):
+            rays_l = dataclasses.replace(
+                rays,
+                directions=rays.directions.astype(dtype),
+                origins=rays.origins.astype(dtype),
+                near=rays.near.astype(dtype),
+                far=rays.far.astype(dtype),
+                encoding=enc,
+            )
+            out = fn(rays_l, [g],
+                     dataclasses.replace(dp, mlp_params=mlp), **kwargs)
+            k = jax.random.PRNGKey(1000 + seed)
+            projs = [
+                jax.random.normal(kk, o.shape).astype(dtype)
+                for kk, o in zip(jax.random.split(k, 3), out)
+            ]
+            return sum(jnp.sum(p * o.astype(dtype))
+                       for p, o in zip(projs, out))
+
+        g_f32 = jax.grad(
+            lambda *a: loss(lightplane_renderer, *a, jnp.float32),
+            argnums=(0, 1, 2),
+        )(grid0, dp.mlp_params, rays.encoding)
+
+        with jax.enable_x64(True):
+            g_f64 = jax.grad(
+                lambda *a: loss(lightplane_renderer_naive, *a, jnp.float64),
+                argnums=(0, 1, 2),
+            )(
+                grid0.astype(jnp.float64),
+                dp.mlp_params.astype(jnp.float64),
+                rays.encoding.astype(jnp.float64),
+            )
+
+        for name, a, b in zip(["grid", "mlp", "enc"], g_f64, g_f32):
+            compare_one(a, b, f"inf1e-5/s{seed}/grad_{name}")
