@@ -116,10 +116,12 @@ def sorted_geo(cfg) -> _SortedGeo:
 
 
 def sorted_splat_supported(cfg) -> bool:
-    """Single-grid single-batch voxel splats with C+1 <= 128 channels and no
-    MLP (the fused-MLP path keeps the scan/VMEM kernels)."""
-    if len(cfg.n_hidden) > 0:
-        return False
+    """Single-grid single-batch voxel splats with C+1 <= 128 channels.
+
+    MLP (fused input-grid) variants are supported: the per-sample fused
+    vectors are computed XLA-side as one batched MLP over the chunk's
+    sample stream (``ops/splatter.py:_fused_sample_chunk``) and enter the
+    kernel as per-sample value rows (:func:`sorted_vals_sample`)."""
     if len(cfg.output_grid_sizes) != 1:
         return False
     b, d, h, w, c = cfg.output_grid_sizes[0]
@@ -346,7 +348,7 @@ def sorted_plan(cfg, geom):
 
     return {
         "fzT": fzT, "fyT": fyT, "fxT": fxT, "table": table,
-        "ray_pad": ray_pad, "pos_orig": pos_orig,
+        "ray_pad": ray_pad, "sample_pad": slot_sample, "pos_orig": pos_orig,
     }
 
 
@@ -489,6 +491,28 @@ def sorted_vals(geo: _SortedGeo, plan, splatting_feature, valid_mask):
     return jnp.take(feat_pad, plan["ray_pad"], axis=0)         # [Npad, CPAD]
 
 
+def sorted_vals_sample(geo: _SortedGeo, plan, fused, valid_mask):
+    """Padded per-slot value rows from PER-SAMPLE fused vectors.
+
+    The MLP splatter's value differs per (ray, step) — ``fused [R*S, C]``,
+    already masked by ``valid_mask`` (the mask lives inside the fused
+    computation so the custom VJP's cotangent flows through it).  The
+    weight channel splats ``valid`` per sample; dead samples never get a
+    slot (``sample_pad`` carries the ``N`` sentinel -> the appended zero
+    row), so OOB masking needs no second application here.
+    """
+    N = fused.shape[0]
+    R = valid_mask.shape[0]
+    S = N // R
+    v = jnp.broadcast_to(valid_mask[:, None], (R, S)).reshape(N, 1)
+    feat_aug = jnp.concatenate(
+        [fused.astype(jnp.float32), v.astype(jnp.float32)], axis=1
+    )                                                          # [N, C1]
+    # channel pad to full lanes + one trailing zero row for the sentinel
+    feat_pad = jnp.pad(feat_aug, ((0, 1), (0, CPAD - geo.C1)))
+    return jnp.take(feat_pad, plan["sample_pad"], axis=0)      # [Npad, CPAD]
+
+
 def sorted_splat_acc(cfg, plan, vals, acc):
     """One chunk's sorted splat, read-modify-writing the padded HBM
     accumulator ``acc [PZ, PY, PXp, CPAD]`` (aliased input->output).
@@ -566,10 +590,15 @@ def pad_grad_grid(cfg, g_feat_grid):
     )
 
 
-def sorted_splat_bwd(cfg, plan, R, gg):
+def sorted_splat_bwd(cfg, plan, R, gg, per_sample: bool = False):
     """Adjoint gather: per-sample grads from the padded gradient grid
     ``gg [PZ, PY, PXp, CPAD]`` (see :func:`pad_grad_grid`), un-sorted and
-    summed over march steps -> ``g_encoding [R, C]``."""
+    summed over march steps -> ``g_encoding [R, C]``.
+
+    With ``per_sample=True`` the un-sorted ``[R*S, C]`` stream is returned
+    before the ray sum — the MLP splatter's backward uses it as the
+    cotangent of the per-sample fused vectors (reference
+    ``templates/splatter_bw.py:183-394`` semantics)."""
     geo = sorted_geo(cfg)
     S = cfg.tot_num_samples
     BZ = BY = geo.SUP + 1
@@ -604,4 +633,6 @@ def sorted_splat_bwd(cfg, plan, R, gg):
         [g_stream, jnp.zeros((1, CPAD), g_stream.dtype)], axis=0
     )
     g_sample = jnp.take(g_stream, plan["pos_orig"], axis=0)    # [N, CPAD]
+    if per_sample:
+        return g_sample[:, : geo.C]                            # [R*S, C]
     return g_sample.reshape(R, S, CPAD).sum(axis=1)[:, : geo.C]

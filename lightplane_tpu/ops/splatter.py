@@ -319,8 +319,11 @@ _splat_core_big.defvjp(_splat_big_fwd, _splat_big_bwd)
 _SORTED_CHUNK_SAMPLES = 4_194_304
 
 
-def _sorted_chunk_shape(R: int, S: int):
-    n_chunks = max(1, -(-(R * S) // _SORTED_CHUNK_SAMPLES))
+def _sorted_chunk_shape(R: int, S: int, mlp: bool = False):
+    # MLP configs halve the chunk: the fused per-sample feature stream and
+    # its VJP intermediates add several [chunk_N, C] f32 buffers.
+    cap = _SORTED_CHUNK_SAMPLES // (2 if mlp else 1)
+    n_chunks = max(1, -(-(R * S) // cap))
     chunk_r = -(-R // n_chunks)
     return n_chunks, chunk_r
 
@@ -331,6 +334,51 @@ def _pad_rows(a, n):
     return jnp.pad(a, ((0, n - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
 
 
+def _fused_sample_chunk(cfg: _SplatCfg, geom_c, encoding, input_grid_flat,
+                        mlp_params):
+    """Per-sample fused splat vectors for one ray chunk: ``[R*S, C]``.
+
+    TPU-native replacement for the reference's in-kernel per-step
+    sample + MLP (``templates/splatter_fw.py:168-309``): the whole chunk's
+    sample stream is gathered from the input grid in one batched corner
+    gather and pushed through the splatter MLP as one large matmul chain
+    on the MXU — FLOP-identical to the fused kernel, at MXU-friendly
+    batch shapes instead of 16-ray register blocks.  Coordinates reuse the
+    sorted plan's exact elementwise expressions
+    (``splatter_sorted._grid_frame_coords``) so values and sort keys
+    describe identical points.  Invalid (chunk-padding) rays are zeroed
+    *here* so the custom VJP's cotangent flows through the mask.
+    """
+    from .kernels import splatter_sorted as ss
+
+    directions, origins, near, far, grid_idx, valid = geom_c
+    R = directions.shape[0]
+    S = cfg.tot_num_samples
+    geo = ss.sorted_geo(cfg)
+    step = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (R, S))
+    _fz, _fy, _fx, pts = ss._grid_frame_coords(
+        cfg, geo, origins[:, None, :], directions[:, None, :],
+        near[:, None], far[:, None], step,
+    )
+    pts = pts.reshape(R * S, 3)
+    gi = jnp.broadcast_to(grid_idx[:, None], (R, S)).reshape(R * S)
+    sampled = sample_grid_rep(
+        input_grid_flat, cfg.input_grid_sizes, pts, gi,
+        cfg.mask_out_of_bounds_samples,
+    )
+    x = sampled + jnp.broadcast_to(
+        encoding[:, None, :], (R, S, encoding.shape[-1])
+    ).reshape(R * S, -1)
+    weights, biases = _flattened_one_mlp_params_to_list(
+        mlp_params, cfg.n_hidden
+    )
+    for l in range(len(weights)):
+        x = x @ weights[l] + biases[l]
+        if l < len(weights) - 1:
+            x = jax.nn.relu(x)
+    return x * jnp.broadcast_to(valid[:, None], (R, S)).reshape(R * S, 1)
+
+
 def _sorted_fwd_impl(cfg: _SplatCfg, geom, diff):
     """Chunk-scanned sorted splat: pad rays to equal chunks (padding rows
     have valid_mask=0 so the plan kills them via the _BIG coord sentinel),
@@ -339,18 +387,28 @@ def _sorted_fwd_impl(cfg: _SplatCfg, geom, diff):
 
     geo = ss.sorted_geo(cfg)
     R = geom[0].shape[0]
-    n_chunks, chunk_r = _sorted_chunk_shape(R, cfg.tot_num_samples)
+    splatting_feature, input_grid_flat, mlp_params = diff
+    with_mlp = len(cfg.n_hidden) > 0
+    n_chunks, chunk_r = _sorted_chunk_shape(
+        R, cfg.tot_num_samples, mlp=with_mlp
+    )
     Rp = n_chunks * chunk_r
     stack = lambda a: _pad_rows(a, Rp).reshape(
         (n_chunks, chunk_r) + a.shape[1:]
     )
-    xs = tuple(stack(a) for a in geom) + (stack(diff[0]),)
+    xs = tuple(stack(a) for a in geom) + (stack(splatting_feature),)
     acc0 = jnp.zeros((geo.PZ, geo.PY, geo.PXp, ss.CPAD), jnp.float32)
 
     def body(acc, xs_c):
         geom_c, feat_c = xs_c[:-1], xs_c[-1]
         plan = ss.sorted_plan(cfg, geom_c)
-        vals = ss.sorted_vals(geo, plan, feat_c, geom_c[5])
+        if with_mlp:
+            fused = _fused_sample_chunk(
+                cfg, geom_c, feat_c, input_grid_flat, mlp_params
+            )
+            vals = ss.sorted_vals_sample(geo, plan, fused, geom_c[5])
+        else:
+            vals = ss.sorted_vals(geo, plan, feat_c, geom_c[5])
         return ss.sorted_splat_acc(cfg, plan, vals, acc), None
 
     if n_chunks == 1:
@@ -388,22 +446,71 @@ def _sorted_bwd_impl(cfg: _SplatCfg, geom, g_feat_grid):
     return g_enc[:R]
 
 
+def _sorted_bwd_mlp_impl(cfg: _SplatCfg, geom, diff, g_feat_grid):
+    """MLP-splatter adjoint on the sorted path: the per-sample gradient
+    stream from the bw kernel is the cotangent of the fused per-sample
+    vectors — one ``jax.vjp`` through the batched sample+MLP recompute
+    yields (g_encoding, g_input_grid, g_mlp_params) per chunk (reference
+    ``templates/splatter_bw.py:183-394``).  The input-grid/MLP grads
+    accumulate across chunks in the scan carry."""
+    from .kernels import splatter_sorted as ss
+
+    encoding, input_grid_flat, mlp_params = diff
+    R = geom[0].shape[0]
+    n_chunks, chunk_r = _sorted_chunk_shape(
+        R, cfg.tot_num_samples, mlp=True
+    )
+    Rp = n_chunks * chunk_r
+    stack = lambda a: _pad_rows(a, Rp).reshape(
+        (n_chunks, chunk_r) + a.shape[1:]
+    )
+    xs = tuple(stack(a) for a in geom) + (stack(encoding),)
+    gg = ss.pad_grad_grid(cfg, g_feat_grid)  # shared by every chunk
+
+    def body(carry, xs_c):
+        g_ig, g_mlp = carry
+        geom_c, enc_c = xs_c[:-1], xs_c[-1]
+        plan = ss.sorted_plan(cfg, geom_c)
+        g_s = ss.sorted_splat_bwd(cfg, plan, chunk_r, gg, per_sample=True)
+        _, chunk_vjp = jax.vjp(
+            lambda e, ig, mp: _fused_sample_chunk(cfg, geom_c, e, ig, mp),
+            enc_c, input_grid_flat, mlp_params,
+        )
+        d_enc, d_ig, d_mlp = chunk_vjp(g_s)
+        return (g_ig + d_ig, g_mlp + d_mlp), d_enc
+
+    init = (
+        zeros_with_vma(
+            input_grid_flat.shape, input_grid_flat.dtype, geom[2]
+        ),
+        zeros_with_vma(mlp_params.shape, mlp_params.dtype, geom[2]),
+    )
+    if n_chunks == 1:
+        (g_ig, g_mlp), g_enc = body(init, tuple(a[0] for a in xs))
+    else:
+        (g_ig, g_mlp), gs = jax.lax.scan(body, init, xs)
+        g_enc = gs.reshape(Rp, gs.shape[-1])
+    return g_enc[:R], g_ig, g_mlp
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _splat_core_sorted(cfg: _SplatCfg, geom, diff):
     return _sorted_fwd_impl(cfg, geom, diff)
 
 
 def _splat_sorted_fwd(cfg, geom, diff):
-    return _sorted_fwd_impl(cfg, geom, diff), geom
+    return _sorted_fwd_impl(cfg, geom, diff), (geom, diff)
 
 
-def _splat_sorted_bwd(cfg: _SplatCfg, geom, g_out):
+def _splat_sorted_bwd(cfg: _SplatCfg, res, g_out):
+    geom, diff = res
     g_feat_grid, _g_w_grid = g_out  # weight cotangent ignored (see above)
-    g_enc = _sorted_bwd_impl(cfg, geom, g_feat_grid)
+    if len(cfg.n_hidden) == 0:
+        grads = (_sorted_bwd_impl(cfg, geom, g_feat_grid), None, None)
+    else:
+        grads = _sorted_bwd_mlp_impl(cfg, geom, diff, g_feat_grid)
     g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
-    return g_geom, assert_grads_finite(
-        (g_enc, None, None), "splatter(sorted)"
-    )
+    return g_geom, assert_grads_finite(grads, "splatter(sorted)")
 
 
 _splat_core_sorted.defvjp(_splat_sorted_fwd, _splat_sorted_bwd)
@@ -579,6 +686,12 @@ def _run_splatter(
         input_grid_flat,
         mlp_params.mlp_params if mlp_params is not None else None,
     )
+    if impl == "big" and len(cfg.n_hidden) > 0:
+        raise ValueError(
+            "impl='big' does not support the fused-MLP splatter (its "
+            "backward produces no input-grid/MLP grads); use impl='sorted' "
+            "(any big grid) or 'auto'."
+        )
     if _use_sorted_splat(cfg, impl):
         core = _splat_core_sorted
     elif _use_big_splat(cfg, impl):

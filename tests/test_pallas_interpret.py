@@ -247,6 +247,57 @@ def test_pallas_splatter_matches_scan(use_mlp):
         compare_one(a, b, f"splat{use_mlp}/grad{i}")
 
 
+@pytest.mark.parametrize("use_mlp", [False, True])
+def test_sorted_splatter_matches_scan(use_mlp):
+    """Sorted (octet-binned) splatter vs scan, fw + all grads, forced via
+    impl='sorted' on a small non-cubic grid so the interpreter is fast.
+    The MLP variant covers the fused input-grid sample + batched-MLP path
+    (reference ``templates/splatter_fw.py:168-309``, ``splatter_bw.py:
+    183-394``) end to end, including g_input_grid and g_mlp_params."""
+    from lightplane_tpu import (
+        init_splatter_params, lightplane_mlp_splatter, lightplane_splatter,
+    )
+
+    n_rays = 23
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    chn = 16
+    rays = random_rays(k1, n_rays, 1, encoding_dim=chn)
+    out_size = [(1, 20, 18, 24, chn)]
+    if use_mlp:
+        sp = init_splatter_params(k2, n_layers=2, input_chn=chn,
+                                  hidden_chn=16, out_chn=chn)
+        igrid = random_grid(k3, 1, chn, 6, "voxel", scale=0.5)
+
+        def run(impl, enc, mp, ig):
+            r = dataclasses.replace(rays, encoding=enc)
+            spp = dataclasses.replace(sp, mlp_params=mp)
+            return lightplane_mlp_splatter(
+                r, out_size, spp, [ig], num_samples=9,
+                mask_out_of_bounds_samples=True, impl=impl,
+                return_list=False)
+
+        args = (rays.encoding, sp.mlp_params, igrid[0])
+    else:
+        def run(impl, enc):
+            r = dataclasses.replace(rays, encoding=enc)
+            return lightplane_splatter(
+                r, out_size, num_samples=9, impl=impl, return_list=False)
+
+        args = (rays.encoding,)
+
+    n_args = len(args)
+    (l_s, out_s), g_s = jax.value_and_grad(
+        lambda *a: (jnp.sum(run("scan", *a) ** 2), run("scan", *a)),
+        argnums=tuple(range(n_args)), has_aux=True)(*args)
+    (l_p, out_p), g_p = jax.value_and_grad(
+        lambda *a: (jnp.sum(run("sorted", *a) ** 2), run("sorted", *a)),
+        argnums=tuple(range(n_args)), has_aux=True)(*args)
+    compare_one(out_s, out_p, f"sorted{use_mlp}/grid")
+    for i, (a, b) in enumerate(zip(g_s, g_p)):
+        compare_one(a, b, f"sorted{use_mlp}/grad{i}")
+
+
 @pytest.mark.parametrize("coherent", [True, False])
 def test_big_splatter_matches_scan(coherent):
     """Big-grid (HBM boxed-DMA) splatter vs scan: coherent camera rays

@@ -257,3 +257,41 @@ def test_tpu_mlp_splatter_vmem():
     igrid = random_grid(jax.random.PRNGKey(8), 1, 16, 8, "voxel", scale=0.3)
     _splatter_parity(rays, [(1, 8, 8, 8, 16)], "pallas", mlp=sp,
                      input_grid=igrid)
+
+
+def test_tpu_mlp_splatter_sorted():
+    """Fused-MLP splatter into a beyond-VMEM grid (sorted kernels + the
+    batched sample/MLP recompute): fw + grads for the ray encoding, the
+    input grid and the MLP params, shuffled ray order."""
+    from .utils import random_splatter_params
+
+    rays = _camera_tile_rays(32, 32, (8, 8), 32)
+    perm = np.random.default_rng(1).permutation(rays.directions.shape[0])
+    rays = jax.tree_util.tree_map(lambda a: a[perm], rays)
+    rays = dataclasses.replace(rays, encoding=rays.encoding[:, :16])
+    sp = random_splatter_params(
+        jax.random.PRNGKey(9), input_chn=16, hidden_chn=16, out_chn=16
+    )
+    igrid = random_grid(jax.random.PRNGKey(10), 1, 16, 8, "voxel",
+                        scale=0.3)
+    sizes = [(1, 24, 24, 24, 16)]
+
+    def loss(impl, enc, mp, ig):
+        r = dataclasses.replace(rays, encoding=enc)
+        spp = dataclasses.replace(sp, mlp_params=mp)
+        out = lt.lightplane_mlp_splatter(
+            r, sizes, spp, [ig], num_samples=12, return_list=False,
+            impl=impl)
+        proj = jax.random.normal(jax.random.PRNGKey(11), out.shape)
+        return jnp.sum(proj * out), out
+
+    results = {}
+    for im in ("scan", "sorted"):
+        grads, out = jax.jit(jax.grad(
+            functools.partial(loss, im), argnums=(0, 1, 2), has_aux=True,
+        ))(rays.encoding, sp.mlp_params, igrid[0])
+        results[im] = (out, grads)
+    (out_s, g_s), (out_p, g_p) = results["scan"], results["sorted"]
+    _compare(out_s, out_p, "sorted_mlp_fw_grid")
+    for nm, a, b in zip(["enc", "mlp", "igrid"], g_s, g_p):
+        _compare(a, b, f"sorted_mlp_grad_{nm}")
