@@ -26,7 +26,7 @@ import lightplane_tpu as lt
 
 
 def make_inputs(key, image_size, res=32, chn=32, hidden=32, n_layers=2,
-                tile_order=False):
+                tile_order=False, tile=(8, 32)):
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     dp = lt.init_decoder_params(
         k1, n_layers_opacity=n_layers, n_layers_trunk=n_layers,
@@ -46,7 +46,7 @@ def make_inputs(key, image_size, res=32, chn=32, hidden=32, n_layers=2,
     )
     directions = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(n)], axis=-1)
     if tile_order:
-        order, _ = lt.tile_ray_order(image_size, image_size)
+        order, _ = lt.tile_ray_order(image_size, image_size, tile=tile)
         directions = directions[order]
     rays = lt.Rays(
         directions=directions,
@@ -85,9 +85,10 @@ def analysis_mem_mb(compiled):
         return float("nan")
 
 
-def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False):
+def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False,
+              tile=(8, 32)):
     rays, grid, dp = make_inputs(
-        jax.random.PRNGKey(0), image_size, tile_order=tile_order
+        jax.random.PRNGKey(0), image_size, tile_order=tile_order, tile=tile
     )
 
     def fwd(grid, mp, enc):
@@ -149,6 +150,7 @@ def main():
                    default=["pallas", "scan"])
     p.add_argument("--num_samples", type=int, default=256)
     p.add_argument("--tile_order", action="store_true")
+    p.add_argument("--tile", type=int, nargs=2, default=[8, 32])
     args = p.parse_args()
 
     print("STATS,impl,image_size,n_rays,t_fw_ms,t_fwbw_ms,"
@@ -157,7 +159,8 @@ def main():
         for size in args.sizes:
             try:
                 r = bench_one(impl, size, args.num_samples,
-                              tile_order=args.tile_order)
+                              tile_order=args.tile_order,
+                              tile=tuple(args.tile))
             except Exception as e:
                 print(f"STATS,{impl},{size},{size*size},ERROR,"
                       f"{type(e).__name__},,")

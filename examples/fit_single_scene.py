@@ -38,7 +38,8 @@ from lightplane_tpu.utils.grid_utils import (
     grid_up_sample,
     init_3d_representation,
 )
-from lightplane_tpu.utils.metrics import calc_psnr, calc_ssim
+from lightplane_tpu.utils.metrics import calc_psnr, calc_ssim, perceptual_loss
+from lightplane_tpu.utils.nnfm_loss import random_conv_features_fn
 from lightplane_tpu.utils.io_utils import colorize_depth, save_image
 from utils.datasets import auto_dataset
 
@@ -74,12 +75,20 @@ def parse_args(argv=None):
     p.add_argument("--n_iter", type=int, default=3000)
     p.add_argument("--rays_per_batch", type=int, default=4096)
     p.add_argument("--ray_sampling", type=str, default="span",
-                   choices=["span", "random"],
+                   choices=["span", "random", "image"],
                    help="'span' draws random 512-ray contiguous raster "
                         "spans, each exactly one kernel ray-block, so "
                         "batches stay spatially coherent and the TPU "
                         "kernels keep their windowed fast path; 'random' "
-                        "draws iid pixels")
+                        "draws iid pixels; 'image' renders one whole image "
+                        "per step (tile-ordered rays) — the reference fit "
+                        "app's renderer_type='image' mode "
+                        "(fit_single_scene.py:256-315), which enables the "
+                        "perceptual image loss")
+    p.add_argument("--perceptual_weight", type=float, default=0.0,
+                   help="weight of the LPIPS-structured perceptual image "
+                        "loss (whole-image mode only; reference uses "
+                        "LPIPS at fit_single_scene.py:304-315)")
     p.add_argument("--lr_grid", type=float, default=5e-2)
     p.add_argument("--lr_mlp", type=float, default=5e-3)
     p.add_argument("--lr_decay_iters", type=int, default=3000)
@@ -238,6 +247,57 @@ def main(argv=None):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, mse
 
+    # whole-image mode: one image per step, rendered with tile-ordered rays
+    # (the fused kernels' fast path), loss = image MSE + optional perceptual
+    # term — the reference's renderer_type="image" + LPIPS mode
+    # (fit_single_scene.py:256-315).  The O(rays)-memory recompute backward
+    # is what makes differentiable whole-image renders affordable.
+    img_order, img_inv = lt.tile_ray_order(ds.height, ds.width)
+    img_order = jnp.asarray(img_order)
+    img_inv = jnp.asarray(img_inv)
+    features_fn = (
+        random_conv_features_fn() if args.perceptual_weight > 0 else None
+    )
+
+    @functools.partial(jax.jit, static_argnames=("num_samples",))
+    def train_step_image(params, opt_state, img_i, scaffold, num_samples):
+        base = img_i * img_rays
+        idx = base + img_order
+
+        def loss_fn(params):
+            rays = lt.Rays(
+                directions=directions[idx],
+                origins=origins[idx],
+                grid_idx=jnp.zeros_like(idx, dtype=jnp.int32),
+                near=jnp.full(idx.shape, ds.near, jnp.float32),
+                far=jnp.full(idx.shape, ds.far, jnp.float32),
+            )
+            depth, alpha, rgb = render_with(
+                params, rays, scaffold, num_samples
+            )
+            pred = rgb[img_inv].reshape(ds.height, ds.width, 3)
+            tgt = gt[base + jnp.arange(img_rays)].reshape(
+                ds.height, ds.width, 3
+            )
+            mse = jnp.mean((pred - tgt) ** 2)
+            loss = mse
+            if args.perceptual_weight > 0:
+                loss = loss + args.perceptual_weight * perceptual_loss(
+                    pred, tgt, features_fn
+                )
+            if args.tv_weight > 0:
+                loss = loss + args.tv_weight * grid_tv_loss(params["grid"])
+            if args.l1_weight > 0:
+                loss = loss + args.l1_weight * grid_l1_loss(params["grid"])
+            return loss, mse
+
+        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, mse
+
     def eval_and_checkpoint(step, params, scaffold, num_samples):
         o, d, img_gt = ds.image(0)
         # tile-major ray order: spatially-coherent blocks enable the fused
@@ -282,10 +342,16 @@ def main(argv=None):
     t0 = time.time()
     for step in range(args.n_iter):
         key, k_idx = jax.random.split(key)
-        idx = sample_ray_idx(k_idx)
-        params, opt_state, loss, mse = train_step(
-            params, opt_state, idx, scaffold, num_samples
-        )
+        if args.ray_sampling == "image":
+            img_i = jax.random.randint(k_idx, (), 0, ds.n_images)
+            params, opt_state, loss, mse = train_step_image(
+                params, opt_state, img_i, scaffold, num_samples
+            )
+        else:
+            idx = sample_ray_idx(k_idx)
+            params, opt_state, loss, mse = train_step(
+                params, opt_state, idx, scaffold, num_samples
+            )
 
         if step in args.upsample_steps:
             # coarse-to-fine: upsample grid x2, double samples, reset opt

@@ -92,3 +92,38 @@ def calc_lpips(pred, target, net: str = "vgg"):
     ).permute(2, 0, 1)[None] * 2 - 1
     with torch.no_grad():
         return float(loss_fn(to_t(pred), to_t(target)))
+
+
+def perceptual_loss(pred_hwc, target_hwc, features_fn=None,
+                    blocks=(0, 1, 2)):
+    """Differentiable LPIPS-structured perceptual distance, pure JAX.
+
+    Same computation shape as LPIPS (Zhang et al. 2018, used by the
+    reference fit app's whole-image mode,
+    ``examples/fit_single_scene.py:256-315``): extract multi-scale conv
+    feature maps of both images, channel-normalize each map to unit
+    length per pixel, and average the squared differences per block.
+    The feature extractor is pluggable (``features_fn(img_chw, blocks)
+    -> [per-block [C, H, W] maps]``); the default is the hermetic
+    fixed-seed random conv pyramid
+    (:func:`lightplane_tpu.utils.nnfm_loss.random_conv_features_fn`) —
+    random multi-scale conv features carry the multi-scale/translation
+    structure that makes perceptual losses work, without downloading
+    pretrained weights.  Pass a VGG-backed ``features_fn`` for exact
+    LPIPS-style features where torchvision is available (note that one
+    is not JAX-differentiable; training needs a JAX extractor).
+    """
+    from .nnfm_loss import _normalize_chn, random_conv_features_fn
+
+    if features_fn is None:
+        features_fn = random_conv_features_fn()
+    a = jnp.transpose(pred_hwc, (2, 0, 1))
+    b = jnp.transpose(target_hwc, (2, 0, 1))
+    fa = features_fn(a, blocks)
+    fb = features_fn(b, blocks)
+    total = 0.0
+    for xa, xb in zip(fa, fb):
+        na = _normalize_chn(xa.reshape(xa.shape[0], -1))
+        nb = _normalize_chn(xb.reshape(xb.shape[0], -1))
+        total = total + jnp.mean(jnp.sum((na - nb) ** 2, axis=0))
+    return total / len(fa)

@@ -128,6 +128,36 @@ def test_co3d_loader(tmp_path):
     assert ds2.n_images == 2
 
 
+def test_perceptual_loss():
+    from lightplane_tpu.utils.metrics import perceptual_loss
+
+    ffn = random_conv_features_fn(widths=(8, 16))
+    a = jax.random.uniform(jax.random.PRNGKey(0), (16, 16, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(1), (16, 16, 3))
+    # identical images -> zero distance; different -> positive
+    assert float(perceptual_loss(a, a, ffn, blocks=(0, 1))) < 1e-6
+    assert float(perceptual_loss(a, b, ffn, blocks=(0, 1))) > 1e-3
+    # differentiable (the reference's LPIPS term trains through it)
+    g = jax.grad(lambda x: perceptual_loss(x, b, ffn, blocks=(0, 1)))(a)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_fit_app_image_mode_smoke(tmp_path):
+    """Whole-image training mode with the perceptual loss: two steps on the
+    procedural scene (reference renderer_type='image' + LPIPS,
+    fit_single_scene.py:256-315)."""
+    import fit_single_scene as app
+
+    app.main([
+        "--dataset_type", "synthetic", "--n_iter", "2",
+        "--ray_sampling", "image", "--perceptual_weight", "0.05",
+        "--grid_resolution", "8", "--grid_channels", "16",
+        "--num_samples", "8", "--eval_rate", "1000", "--impl", "scan",
+        "--output_dir", str(tmp_path / "out"),
+    ])
+
+
 def test_write_video(tmp_path):
     from lightplane_tpu.utils.io_utils import write_video
 
