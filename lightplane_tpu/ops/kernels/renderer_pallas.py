@@ -1479,6 +1479,7 @@ def _noise_cols(cfg, cr, pc, ci, bw, pid, seed):
     if cfg.inject_noise_sigma <= 0.0:
         return None
     S = cfg.tot_num_samples
+    stride = cfg.noise_stride
     Kp = cr.K // pc.P
     m = jax.lax.broadcasted_iota(jnp.int32, (pc.Mq, pc.P), 0)
     q = jax.lax.broadcasted_iota(jnp.int32, (pc.Mq, pc.P), 1)
@@ -1486,8 +1487,8 @@ def _noise_cols(cfg, cr, pc, ci, bw, pid, seed):
     s = (ci * cr.K + k) if not bw else (ci - k)  # bw: ci carries s_hi
     s = jnp.clip(s, 0, S - 1)
     ray = jnp.minimum(pid * cr.B + m % cr.B, cfg.num_rays_noise - 1)
-    i1 = S * ray + s + 1
-    i2 = i1 + max(cfg.num_rays_noise, MIN_BLOCK_SIZE) * S
+    i1 = stride * ray + s + 1
+    i2 = i1 + max(cfg.num_rays_noise, MIN_BLOCK_SIZE) * stride
     return _int_to_randn(i1, i2, seed) * cfg.inject_noise_sigma
 
 
@@ -1769,7 +1770,7 @@ def _chunk_geom(cfg, cr: _ChunkRays, ci, bw=False):
         s_bk = jnp.broadcast_to(
             jnp.clip(s_k, 0, S - 1), (cr.B, cr.K)
         ).astype(jnp.int32)
-        noise_i1 = _bk_to_m1(S * cr.ray_ids + s_bk + 1)
+        noise_i1 = _bk_to_m1(cfg.noise_stride * cr.ray_ids + s_bk + 1)
     return t_cols, dv_cols, pts_ks, mask_m, noise_i1
 
 
@@ -1870,7 +1871,7 @@ def _chunk_decoder(cfg, grid_ref, cgrid_ref, samplers, csamplers, mask_m,
     noise = None
     if cfg.inject_noise_sigma > 0.0:
         i2 = noise_i1 + max(cfg.num_rays_noise, MIN_BLOCK_SIZE) * (
-            cfg.tot_num_samples
+            cfg.noise_stride
         )
         noise = _int_to_randn(noise_i1, i2, seed) * cfg.inject_noise_sigma
     sigma, color, res = _decoder_fwd(cfg, feat, cfeat, enc_r, noise, mlps,

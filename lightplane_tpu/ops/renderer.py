@@ -108,10 +108,19 @@ class _RenderCfg:
     # the net effect is ~neutral; outputs differ from f32 at bf16
     # precision (~3 significant digits).  The scan path ignores this.
     compute_dtype: str = "float32"
+    # Stride of the per-(ray, step) noise counter scheme.  Normally the
+    # total sample count; pinned explicitly when the background tail is
+    # split off (``lightplane_renderer``) so the main pass keeps drawing
+    # the same noise values as the unsplit oracle march.
+    noise_sample_stride: Optional[int] = None
 
     @property
     def tot_num_samples(self):
         return self.num_samples + self.num_samples_inf
+
+    @property
+    def noise_stride(self):
+        return self.noise_sample_stride or self.tot_num_samples
 
 
 def _step_depth_delta(cfg: _RenderCfg, near, far, s: jnp.ndarray):
@@ -154,7 +163,7 @@ def _step_depth_delta(cfg: _RenderCfg, near, far, s: jnp.ndarray):
 def _step_noise(cfg: _RenderCfg, s, num_rays, seed):
     """Per-(ray, step) injected opacity noise via the counter RNG; same
     index scheme as the oracle (``rand.get_sample_randn``)."""
-    S = cfg.tot_num_samples
+    S = cfg.noise_stride
     num_rays_pad = max(cfg.num_rays_noise, MIN_BLOCK_SIZE)
     i1 = S * jnp.arange(num_rays, dtype=jnp.int32) + s + 1
     i2 = i1 + num_rays_pad * S
@@ -416,6 +425,75 @@ def _render_bwd_pallas(cfg, res, g_out):
 _render_core_pallas.defvjp(_render_fwd_pallas, _render_bwd_pallas)
 
 
+def _render_tail(cfg: _RenderCfg, geom, diff, nlt_mid):
+    """Differentiable background-sample tail: steps ``[num_samples,
+    num_samples + num_samples_inf)``, chained from the main pass's final
+    negative log transmittance.
+
+    Background depths march to ``t ~ 1/disparity_at_inf`` (1e5 at the
+    default), so the fused cores' analytic transmittance rewind
+    (``nlt_prev = nlt - sigma*delta``) subtracts enormous terms and
+    corrupts every earlier step's transmittance — measured 25% mean
+    relative grid-gradient error against an f64 oracle
+    (``tests/test_renderer_interactions.py``).  This tail therefore runs
+    as a plain ``lax.scan`` under standard JAX autodiff: transmittance is
+    accumulated FORWARD only, which is well-conditioned, at the cost of
+    O(num_samples_inf * R) checkpointed residuals (tails are small; the
+    reference default is 0 and typical use is <= 32).  The reference
+    handles the tail inside its rewind bw kernel
+    (``templates/renderer_bw.py:427-433``) and inherits the
+    ill-conditioning; this is a deliberate accuracy improvement.
+
+    Geometry gradients are stopped to match the fused cores' semantics
+    (the reference returns no ray-geometry gradients,
+    ``lightplane_renderer.py:613-756``).
+    """
+    directions, origins, near, far, grid_idx, scaffold, noise_seed = geom
+    directions, origins, near, far = map(
+        jax.lax.stop_gradient, (directions, origins, near, far)
+    )
+    if scaffold is not None:
+        scaffold = jax.lax.stop_gradient(scaffold)
+    grid_flat, color_grid_flat, mlp_params, rays_encoding = diff
+    R = directions.shape[0]
+    C = cfg.n_hidden_color[-1]
+
+    def decoder(pts, noise, g, cg, mp, enc):
+        return _step_decoder(
+            cfg, pts, g, cg, mp, enc, grid_idx, scaffold, noise
+        )
+
+    decoder = jax.checkpoint(decoder)
+
+    def body(carry, s):
+        nlt, depth_acc, feat_acc = carry
+        t, delta = _step_depth_delta(cfg, near, far, s)
+        pts = _step_points(cfg, origins, directions, t)
+        noise = (
+            _step_noise(cfg, s, R, noise_seed)
+            if cfg.inject_noise_sigma > 0.0
+            else None
+        )
+        sigma, color = decoder(pts, noise, grid_flat, color_grid_flat,
+                               mlp_params, rays_encoding)
+        nlt_new = nlt + sigma * delta
+        w = jnp.exp(-nlt) - jnp.exp(-nlt_new)
+        return (
+            nlt_new,
+            depth_acc + w * t,
+            feat_acc + w[:, None] * color,
+        ), None
+
+    init = (
+        nlt_mid,
+        zeros_with_vma((R,), nlt_mid.dtype, nlt_mid),
+        zeros_with_vma((R, C), nlt_mid.dtype, nlt_mid),
+    )
+    steps = jnp.arange(cfg.num_samples, cfg.tot_num_samples)
+    (nlt, depth_add, feat_add), _ = jax.lax.scan(body, init, steps)
+    return depth_add, nlt, feat_add
+
+
 def _use_pallas(cfg, impl: str) -> bool:
     from .kernels import renderer_pallas as rp
 
@@ -523,10 +601,29 @@ def lightplane_renderer(
     diff = (grid_flat, color_grid_flat, decoder_params.mlp_params,
             rays_encoding)
 
-    core = (
-        _render_core_pallas if _use_pallas(cfg, impl) else _render_core
-    )
-    depth, nlt, feat = core(cfg, geom, diff)
+    if cfg.num_samples_inf > 0 and cfg.num_samples > 0:
+        # Split the background tail out of the rewind cores (see
+        # _render_tail): the main march keeps the O(1)-in-samples rewind
+        # where it is well-conditioned, the tail runs forward-accumulated
+        # autodiff.  noise_sample_stride pins the noise counter scheme to
+        # the unsplit total so draws stay oracle-identical.
+        cfg_main = dataclasses.replace(
+            cfg, num_samples_inf=0,
+            noise_sample_stride=cfg.tot_num_samples,
+        )
+        core = (
+            _render_core_pallas if _use_pallas(cfg_main, impl)
+            else _render_core
+        )
+        depth, nlt_mid, feat = core(cfg_main, geom, diff)
+        depth_t, nlt, feat_t = _render_tail(cfg, geom, diff, nlt_mid)
+        depth = depth + depth_t
+        feat = feat + feat_t
+    else:
+        core = (
+            _render_core_pallas if _use_pallas(cfg, impl) else _render_core
+        )
+        depth, nlt, feat = core(cfg, geom, diff)
 
     if decoder_params.color_chn < feat.shape[-1]:
         feat = feat[..., : decoder_params.color_chn]

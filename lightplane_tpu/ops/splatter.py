@@ -657,6 +657,38 @@ def _run_splatter(
         raise ValueError("The splatter requires rays.encoding to be set.")
     output_grid_size = _normalize_output_grid_size(output_grid_size)
 
+    # Up-front channel validation (reference lightplane_splatter.py:31-164
+    # validates inputs before launching): a mismatch otherwise surfaces as
+    # an opaque broadcast error from deep inside a kernel path.
+    out_chns = {int(gs[-1]) for gs in output_grid_size}
+    if len(out_chns) != 1:
+        raise ValueError(
+            "every output grid must have the same channel count; got "
+            f"{sorted(out_chns)}"
+        )
+    out_chn = next(iter(out_chns))
+    enc_chn = int(rays.encoding.shape[-1])
+    if mlp_params is None:
+        if enc_chn != out_chn:
+            raise ValueError(
+                f"rays.encoding has {enc_chn} channels but the output "
+                f"grid-list has {out_chn}; without an MLP the encoding is "
+                "splatted directly and the channel counts must match."
+            )
+    else:
+        n_hidden = tuple(int(n) for n in mlp_params.n_hidden)
+        if int(n_hidden[-1]) != out_chn:
+            raise ValueError(
+                f"the splatter MLP outputs {n_hidden[-1]} channels but the "
+                f"output grid-list has {out_chn}."
+            )
+        if enc_chn != int(n_hidden[0]):
+            raise ValueError(
+                f"rays.encoding has {enc_chn} channels but the splatter "
+                f"MLP expects {n_hidden[0]} inputs (the encoding is added "
+                "to the sampled input-grid feature before the MLP)."
+            )
+
     if input_grid is not None:
         check_grid_and_color_grid(input_grid, None, input_grid_sizes, None)
         input_grid_flat, _, input_grid_sizes, _ = process_and_flatten_grid(
@@ -664,6 +696,15 @@ def _run_splatter(
         )
     else:
         input_grid_flat, input_grid_sizes = None, None
+
+    if mlp_params is not None and input_grid_sizes is not None:
+        in_chns = {int(gs[-1]) for gs in input_grid_sizes}
+        want = int(tuple(mlp_params.n_hidden)[0])
+        if in_chns != {want}:
+            raise ValueError(
+                f"input_grid channel counts {sorted(in_chns)} do not match "
+                f"the splatter MLP input width {want}."
+            )
 
     cfg = _SplatCfg(
         num_samples=int(num_samples),

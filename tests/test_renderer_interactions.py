@@ -129,10 +129,13 @@ def _run_all(cfg, seed):
 
 @pytest.mark.parametrize("variant", range(len(INTERACTIONS)))
 def test_renderer_interactions(variant):
-    cfg = dict(
-        BASE, n_rays=20, resolution=5, num_samples=8,
+    # dict-merge (not dict(..., **kw)): variants may override the
+    # defaults set here (e.g. variant 7's n_rays=7), which would be a
+    # duplicate-keyword TypeError under the call form
+    cfg = {
+        **BASE, "n_rays": 20, "resolution": 5, "num_samples": 8,
         **INTERACTIONS[variant],
-    )
+    }
     for seed in range(N_SEEDS):
         res = _run_all(cfg, seed)
         out_n, g_n = res["naive"]
@@ -176,8 +179,14 @@ def test_background_samples_grad_at_default_disparity():
             out = fn(rays_l, [g],
                      dataclasses.replace(dp, mlp_params=mlp), **kwargs)
             k = jax.random.PRNGKey(1000 + seed)
+            # draw the projection at a PINNED f32 dtype: under enable_x64
+            # an unpinned jax.random.normal draws different values than
+            # the f32 run, so the f64 oracle would differentiate a
+            # different loss entirely (this was the round-2 "25% gradient
+            # error" — a test artifact, not a kernel defect)
             projs = [
-                jax.random.normal(kk, o.shape).astype(dtype)
+                jax.random.normal(kk, o.shape, dtype=jnp.float32).astype(
+                    dtype)
                 for kk, o in zip(jax.random.split(k, 3), out)
             ]
             return sum(jnp.sum(p * o.astype(dtype))

@@ -213,6 +213,9 @@ def test_tpu_splatter_sorted():
     rays = _camera_tile_rays(32, 32, (8, 8), 32)
     perm = np.random.default_rng(0).permutation(rays.directions.shape[0])
     rays = jax.tree_util.tree_map(lambda a: a[perm], rays)
+    # encoding channels must match the 16-channel output grid (validated
+    # at the API since round 3)
+    rays = dataclasses.replace(rays, encoding=rays.encoding[:, :16])
     _splatter_parity(rays, [(1, 24, 24, 24, 16)], "sorted")
 
 
