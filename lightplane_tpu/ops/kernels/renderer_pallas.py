@@ -29,10 +29,11 @@ adjoint — the same O(1)-in-samples scheme as the scan path (see
 MLP params) map every program to the same output block; TPU Pallas grids
 execute sequentially per core, so revisiting accumulation is race-free.
 
-Applicability: every sub-grid's cell count ``B_batch*D*H*W`` must fit the
-stencil budget (``MAX_CELLS_PER_GRID``); scaffolds fall back to the scan
-path.  This covers triplanes/multi-plane models and small voxel grids — the
-reference's headline benchmark shapes.
+Applicability: sub-grids up to ``MAX_CELLS_PER_GRID`` cells run these
+dense/windowed stencil kernels (the reference's headline benchmark
+shapes); bigger grids — voxels, planes, batched, contracted, grid-lists —
+run the W3 boxed-DMA kernels (``renderer_w3.py``).  Scaffolds run fused
+via precomputed per-(ray, step) gates (``_scaffold_gate_base``).
 """
 
 from __future__ import annotations
@@ -549,21 +550,9 @@ def _splat_samplers_pieces(pc, samplers, grad_ref, mask_m, pieces):
         s.splat_accum_pieces(grad_ref, pieces, pc.Mq)
 
 
-def _host_chunk_endpoint_depths(cfg, near, far, K, bw):
-    """[R, n_chunks, 2] depths at each chunk's endpoint steps (host-side;
-    same schedule as the kernels, vectorized over rays and chunks)."""
-    S = cfg.tot_num_samples
-    n_chunks = (S + K - 1) // K
-    ends = []
-    for ci in range(n_chunks):
-        if bw:
-            hi = S - 1 - ci * K
-            lo = max(0, hi - (K - 1))
-        else:
-            lo = ci * K
-            hi = min(S - 1, lo + K - 1)
-        ends.append((lo, hi))
-    s = jnp.asarray(ends, jnp.float32)[None]          # [1, nc, 2]
+def _host_sched_depths(cfg, near, far, s):
+    """Depths for a [1, nc, k] fractional-step table (host-side; same
+    schedule as the kernels, vectorized over rays and chunks)."""
     nr = near[:, None, None]
     fr = far[:, None, None]
     ns, ni = cfg.num_samples, cfg.num_samples_inf
@@ -576,10 +565,44 @@ def _host_chunk_endpoint_depths(cfg, near, far, K, bw):
     if ni > 0:
         frac = (s - ns + 1.0) / ni
         n_disp = cfg.disparity_at_inf * frac + (1.0 - frac)
-        t = jnp.where(s < ns, lin_depth(s), fr * (1.0 / n_disp))
-    else:
-        t = lin_depth(s)
-    return t
+        return jnp.where(s < ns, lin_depth(s), fr * (1.0 / n_disp))
+    return lin_depth(s)
+
+
+def _host_chunk_endpoint_depths(cfg, near, far, K, bw):
+    """[R, n_chunks, 2] depths at each chunk's endpoint steps."""
+    S = cfg.tot_num_samples
+    n_chunks = (S + K - 1) // K
+    ends = []
+    for ci in range(n_chunks):
+        if bw:
+            hi = S - 1 - ci * K
+            lo = max(0, hi - (K - 1))
+        else:
+            lo = ci * K
+            hi = min(S - 1, lo + K - 1)
+        ends.append((lo, hi))
+    s = jnp.asarray(ends, jnp.float32)[None]          # [1, nc, 2]
+    return _host_sched_depths(cfg, near, far, s)
+
+
+def _host_chunk_all_depths(cfg, near, far, K, bw):
+    """[R, n_chunks, K] depths at EVERY chunk step — for exact window
+    planning under non-linear coordinate transforms (contraction), where
+    endpoint bounds are invalid but the sampled points themselves can be
+    bounded directly."""
+    S = cfg.tot_num_samples
+    n_chunks = (S + K - 1) // K
+    steps = []
+    for ci in range(n_chunks):
+        if bw:
+            hi = S - 1 - ci * K
+            steps.append([max(0, hi - j) for j in range(K)])
+        else:
+            lo = ci * K
+            steps.append([min(S - 1, lo + j) for j in range(K)])
+    s = jnp.asarray(steps, jnp.float32)[None]         # [1, nc, K]
+    return _host_sched_depths(cfg, near, far, s)
 
 
 def _window_plan(cfg, origins, dirs, near, far, K, bw, winfos, B):
@@ -1894,7 +1917,8 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
     if w3:
         from . import renderer_w3 as rw3
 
-        w3geos = w3maps
+        w3_main_geos, w3_color_geos = w3maps
+        w3geos = list(w3_main_geos) + list(w3_color_geos)
 
     def kernel(*refs):
         if w3:
@@ -1913,13 +1937,26 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
             rest = rest[1:]
         else:
             gate_ref = None
-        grid_ref = rest[0]
-        rest = rest[1:]
-        if has_cgrid:
-            cgrid_ref = rest[0]
-            rest = rest[1:]
+        if w3:
+            # one kernel input per sub-grid (each in its own [D, H, W*C]
+            # kernel-frame HBM layout)
+            n3m = len(w3_main_geos)
+            grid_ref = list(rest[:n3m])
+            rest = rest[n3m:]
+            if has_cgrid:
+                n3c = len(w3_color_geos)
+                cgrid_ref = list(rest[:n3c])
+                rest = rest[n3c:]
+            else:
+                cgrid_ref = None
         else:
-            cgrid_ref = None
+            grid_ref = rest[0]
+            rest = rest[1:]
+            if has_cgrid:
+                cgrid_ref = rest[0]
+                rest = rest[1:]
+            else:
+                cgrid_ref = None
         n_w = 2 * (n_t + n_o + n_c)
         mlp_refs = rest[:n_w]
         depth_ref, nlt_ref, feat_ref = rest[n_w:]
@@ -1983,11 +2020,14 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
             )
             if w3:
                 all_s = rw3.make_w3_samplers(
-                    w3geos, [grid_ref] + ([cgrid_ref] if has_cgrid else []),
+                    w3geos, grid_ref + (cgrid_ref if has_cgrid else []),
                     w3_boxes, w3_sems, pts_ks, w0_ref, pid, ci,
+                    gsel_m=_tile_rows(cr.gsel, K),
                 )
-                samplers = all_s[:1]
-                csamplers = all_s[1:] if has_cgrid else None
+                samplers = all_s[:len(w3_main_geos)]
+                csamplers = (
+                    all_s[len(w3_main_geos):] if has_cgrid else None
+                )
             elif w2:
                 samplers, csamplers = _make_w2_samplers(
                     cfg, pc, infos, cinfos, iotas_list, ciotas_list,
@@ -2173,6 +2213,16 @@ def _ray_inputs(cfg, geom, rays_encoding, B):
     return arrs, seed, R, R_pad
 
 
+def _w3_grid_inputs(flat, geos, infos):
+    """Split a flat grid-list [V, C] into per-sub-grid kernel-frame
+    [D, H, W*C] HBM buffers (pure reshapes — the W3 axis permutations
+    preserve row order)."""
+    return [
+        flat[i.offset: i.offset + i.cells].reshape(g.D, g.H, g.W * g.C)
+        for g, i in zip(geos, infos)
+    ]
+
+
 def _cast_compute_inputs(cfg, grid_flat, color_grid_flat, weights):
     """Cast the hot matmul operands to the compute dtype OUTSIDE the
     kernel when ``compute_dtype="bfloat16"``.
@@ -2259,16 +2309,12 @@ def pallas_render_fwd(cfg, geom, diff):
                 "W3 kernels cannot run (see renderer_w3.w3_geos); use "
                 "impl='scan'."
             )
-        w3geos = [pair[0]] + ([pair[1]] if pair[1] is not None else [])
-        grid_inputs = [
-            g.reshape(geo.D, geo.H, geo.W * geo.C)
-            for g, geo in zip(
-                [grid_flat] + (
-                    [color_grid_flat] if color_grid_flat is not None
-                    else []),
-                w3geos,
-            )
-        ]
+        w3_main_geos, w3_color_geos = pair
+        w3geos = list(w3_main_geos) + list(w3_color_geos)
+        grid_inputs = _w3_grid_inputs(grid_flat, w3_main_geos, infos) + (
+            _w3_grid_inputs(color_grid_flat, w3_color_geos, cinfos)
+            if color_grid_flat is not None else []
+        )
         grid_specs = [
             pl.BlockSpec(memory_space=pl.ANY) for _ in grid_inputs
         ]
@@ -2306,12 +2352,14 @@ def pallas_render_fwd(cfg, geom, diff):
         K = _march_chunk(cfg)
         w0_3, fits3 = rw3.w3_plan(
             cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], K, False,
-            w3geos, RB,
+            w3geos, RB, gsel=arrs[4][:, 0],
         )
 
         def call_w3():
-            kernel = _build_fw_kernel(cfg, infos, cinfos, n_mlp,
-                                      t1_folded, w3maps=w3geos)
+            kernel = _build_fw_kernel(
+                cfg, infos, cinfos, n_mlp, t1_folded,
+                w3maps=(w3_main_geos, w3_color_geos),
+            )
             w0_spec = pl.BlockSpec(
                 (8, w0_3.shape[1]), lambda b: (b // 8, 0),
                 memory_space=pltpu.SMEM,
@@ -2419,7 +2467,8 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
     if w3:
         from . import renderer_w3 as rw3
 
-        w3geos = w3maps
+        w3_main_geos, w3_color_geos = w3maps
+        w3geos = list(w3_main_geos) + list(w3_color_geos)
     K_bw = _march_chunk(cfg, bw=True, windowed=windowed or w2)
     P_bw = _pack_factor(cfg, K_bw)
     n_scr = 2 * (n_t + n_o + n_c) if P_bw > 1 else 0
@@ -2451,13 +2500,21 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
             rest = rest[1:]
         else:
             gate_ref = None
-        grid_ref = rest[0]
-        rest = rest[1:]
-        if has_cgrid:
-            cgrid_ref = rest[0]
-            rest = rest[1:]
+        if w3:
+            n3m = len(w3_main_geos)
+            n3c = len(w3_color_geos)
+            grid_ref = list(rest[:n3m])
+            rest = rest[n3m:]
+            cgrid_ref = list(rest[:n3c]) if has_cgrid else None
+            rest = rest[n3c:]
         else:
-            cgrid_ref = None
+            grid_ref = rest[0]
+            rest = rest[1:]
+            if has_cgrid:
+                cgrid_ref = rest[0]
+                rest = rest[1:]
+            else:
+                cgrid_ref = None
         if w3:
             # aliased zero-init inputs for the HBM gradient grids (the
             # kernel writes through the OUTPUT refs; these are ignored)
@@ -2465,13 +2522,19 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
         n_w = 2 * (n_t + n_o + n_c)
         mlp_refs = rest[:n_w]
         out_refs = rest[n_w:]
-        ggrid_ref = out_refs[0]
-        out_refs = out_refs[1:]
-        if has_cgrid:
-            gcgrid_ref = out_refs[0]
-            out_refs = out_refs[1:]
+        if w3:
+            ggrid_ref = list(out_refs[:n3m])
+            out_refs = out_refs[n3m:]
+            gcgrid_ref = list(out_refs[:n3c]) if has_cgrid else None
+            out_refs = out_refs[n3c:]
         else:
-            gcgrid_ref = None
+            ggrid_ref = out_refs[0]
+            out_refs = out_refs[1:]
+            if has_cgrid:
+                gcgrid_ref = out_refs[0]
+                out_refs = out_refs[1:]
+            else:
+                gcgrid_ref = None
         gmlp_refs = list(out_refs[:n_w])
         genc_ref = out_refs[n_w]
 
@@ -2566,14 +2629,17 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
             # the gradient splat below (window position + stencils reused)
             if w3:
                 all_s = rw3.make_w3_samplers(
-                    w3geos, [grid_ref] + ([cgrid_ref] if has_cgrid else []),
+                    w3geos, grid_ref + (cgrid_ref if has_cgrid else []),
                     w3_boxes, w3_sems, pts_ks, w0_ref, pid, ci,
-                    gout_refs=[ggrid_ref] + (
-                        [gcgrid_ref] if has_cgrid else []),
+                    gout_refs=ggrid_ref + (
+                        gcgrid_ref if has_cgrid else []),
                     gbox_refs=w3_gboxes, gsems=w3_gsems,
+                    gsel_m=_tile_rows(cr.gsel, K),
                 )
-                samplers = all_s[:1]
-                csamplers = all_s[1:] if has_cgrid else None
+                samplers = all_s[:len(w3_main_geos)]
+                csamplers = (
+                    all_s[len(w3_main_geos):] if has_cgrid else None
+                )
             elif w2:
                 samplers, csamplers = _make_w2_samplers(
                     cfg, pc, infos, cinfos, iotas_list, ciotas_list,
@@ -2972,16 +3038,12 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
                 "W3 kernels cannot run (see renderer_w3.w3_geos); use "
                 "impl='scan'."
             )
-        w3geos = [pair[0]] + ([pair[1]] if pair[1] is not None else [])
-        grid_inputs = [
-            g.reshape(geo.D, geo.H, geo.W * geo.C)
-            for g, geo in zip(
-                [grid_flat] + (
-                    [color_grid_flat] if color_grid_flat is not None
-                    else []),
-                w3geos,
-            )
-        ]
+        w3_main_geos, w3_color_geos = pair
+        w3geos = list(w3_main_geos) + list(w3_color_geos)
+        grid_inputs = _w3_grid_inputs(grid_flat, w3_main_geos, infos) + (
+            _w3_grid_inputs(color_grid_flat, w3_color_geos, cinfos)
+            if color_grid_flat is not None else []
+        )
         grid_specs = [
             pl.BlockSpec(memory_space=pl.ANY) for _ in grid_inputs
         ]
@@ -3033,15 +3095,30 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
 
     def _repack(outs):
         outs = list(outs)
-        g_grid = outs.pop(0)
-        g_cgrid = outs.pop(0) if color_grid_flat is not None else None
+        if w3geos is not None:
+            nm = len(w3_main_geos)
+            g_main = outs[:nm]
+            outs = outs[nm:]
+            g_grid = jnp.concatenate(
+                [g.reshape(i.cells, grid_flat.shape[1])
+                 for g, i in zip(g_main, infos)], axis=0,
+            ) if nm > 1 else g_main[0].reshape(grid_flat.shape)
+            if color_grid_flat is not None:
+                ncg = len(w3_color_geos)
+                g_col = outs[:ncg]
+                outs = outs[ncg:]
+                g_cgrid = jnp.concatenate(
+                    [g.reshape(i.cells, color_grid_flat.shape[1])
+                     for g, i in zip(g_col, cinfos)], axis=0,
+                ) if ncg > 1 else g_col[0].reshape(color_grid_flat.shape)
+            else:
+                g_cgrid = None
+        else:
+            g_grid = outs.pop(0)
+            g_cgrid = outs.pop(0) if color_grid_flat is not None else None
         n_w = len(mlp_tensors)
         g_mlp_tensors = outs[:n_w]
         g_enc = outs[n_w][:R]
-        if w3geos is not None:
-            g_grid = g_grid.reshape(grid_flat.shape)
-            if g_cgrid is not None:
-                g_cgrid = g_cgrid.reshape(color_grid_flat.shape)
         n_t, n_o, n_c = n_mlp
         gw_t = g_mlp_tensors[:n_t]
         gb_t = g_mlp_tensors[n_t: 2 * n_t]
@@ -3064,12 +3141,14 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         K3 = _march_chunk(cfg, bw=True)
         w0_3, fits3 = rw3.w3_plan(
             cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], K3, True,
-            w3geos, RB,
+            w3geos, RB, gsel=arrs[4][:, 0],
         )
 
         def call_w3():
-            kernel = _build_bw_kernel(cfg, infos, cinfos, n_mlp,
-                                      w3maps=w3geos)
+            kernel = _build_bw_kernel(
+                cfg, infos, cinfos, n_mlp,
+                w3maps=(w3_main_geos, w3_color_geos),
+            )
             w0_spec = pl.BlockSpec(
                 (8, w0_3.shape[1]), lambda b: (b // 8, 0),
                 memory_space=pltpu.SMEM,

@@ -1,9 +1,11 @@
-"""W3: fused rendering of beyond-VMEM voxel grids (boxed-DMA sampler).
+"""W3: fused rendering of beyond-VMEM grids (boxed-DMA sampler).
 
 The dense/windowed renderer kernels cap each sub-grid at
 ``MAX_CELLS_PER_GRID`` because their sampling stencil is ``[M, V_g]``
-(``renderer_pallas.py``).  This module removes the cap for voxel grids —
-the reference samples any-size grids from GPU global memory
+(``renderer_pallas.py``).  This module removes the cap — round 3 covers
+voxel grids, all three plane orientations, batched grids, grid-lists and
+contracted (unbounded-scene) configs.  The reference samples any-size
+grids from GPU global memory
 (``triton_src/shared/grid_sample_util.py:1088-1186``, consumed by
 ``templates/renderer_fw.py:254-265`` and the bw splat at
 ``templates/renderer_bw.py:477-534``); the TPU-native equivalent keeps the
@@ -62,65 +64,98 @@ _BIG = 3.0e37
 
 @dataclasses.dataclass(frozen=True)
 class _W3Geo:
+    """Kernel-frame geometry of ONE sub-grid.
+
+    ``D``/``H``/``W`` are the KERNEL-frame cell extents (z, y, x) of the
+    ``[D, H, W*C]`` HBM layout.  ``src`` maps each kernel axis to the
+    sampling-coordinate axis feeding it (0=x, 1=y, 2=z), or -1 for a
+    plane's collapsed singleton axis (always kernel-z).  A batch folds
+    into kernel-z (``D = batch * Dz``); the z hat stencil is masked to
+    the ray's own batch region so edge corners cannot alias into a
+    neighbouring batch element.
+    """
+
     D: int
     H: int
     W: int
     C: int          # channels of the (possibly t1-folded) grid
     WX: int         # x window cells
     AX: int         # x start alignment (cells)
+    # z/y window extents: the renderer uses the module defaults; the
+    # boxed-DMA splatter (splatter_big.py) builds geos with larger,
+    # budget-driven windows for its coarser chunks/tiles
+    WZ: int = W3_Z
+    WY: int = W3_Y
+    src: Tuple[int, int, int] = (2, 1, 0)
+    batch: int = 1
+    Dz: int = -1    # per-batch kernel-z cells (-1: equals D)
 
     @property
     def zy(self):
-        return W3_Z * W3_Y
+        return self.WZ * self.WY
+
+    @property
+    def dz(self):
+        return self.D if self.Dz < 0 else self.Dz
 
 
 def _w3_geo(size, C) -> Optional[_W3Geo]:
+    """Kernel geometry for one (possibly batched) voxel or plane grid."""
     b, d, h, w, _c = size
-    if b != 1 or d < W3_Z or h < W3_Y or w < 12:
-        return None
     if 128 % math.gcd(C, 128):
         return None
     ax = 128 // math.gcd(C, 128)
-    wx = -(-12 // ax) * ax          # >= 12 cells, lane-aligned width
-    if wx > w:
+    dims = [(2, d), (1, h), (0, w)]
+    actives = [(axis, s) for axis, s in dims if s > 1]
+    if len(actives) == 3:
+        src = (2, 1, 0)
+        Dz, Hk, Wk = d, h, w
+    elif len(actives) == 2:
+        (ay, sy), (axx, sx) = actives
+        src = (-1, ay, axx)
+        Dz, Hk, Wk = 1, sy, sx
+    else:
         return None
-    return _W3Geo(D=d, H=h, W=w, C=C, WX=wx, AX=ax)
+    if Hk < W3_Y or Wk < 12:
+        return None
+    if Dz > 1 and Dz < W3_Z:
+        return None
+    wx = -(-12 // ax) * ax          # >= 12 cells, lane-aligned width
+    if wx > Wk:
+        return None
+    kD = b * Dz
+    wz = W3_Z if Dz > 1 else 1
+    if (Hk - W3_Y) % 8 or (Wk - wx) % ax:
+        # aligned window starts could not reach the top span
+        wxr = Wk - ((Wk - wx) // ax) * ax
+        if wxr > Wk:
+            return None
+        wx = wxr
+        if (Hk - W3_Y) % 8:
+            return None
+    return _W3Geo(D=kD, H=Hk, W=Wk, C=C, WX=wx, AX=ax, WZ=wz, WY=W3_Y,
+                  src=src, batch=b, Dz=Dz)
 
 
 def w3_geos(cfg, c_main: int, c_color: Optional[int]):
-    """(main_geo, color_geo) or None when W3 cannot run this config.
+    """(main_geos, color_geos) lists, or None when W3 cannot run this
+    config.
 
-    W3 mode requires: no contraction (window bounds need depth-linear
-    coordinates), a single big voxel main grid, and a color grid that is
-    either absent or itself a single big voxel grid.  ``c_main`` is the
-    main grid's channel count AFTER any trunk-layer folding.
+    Covers any grid-list mix of voxel grids and planes (all three
+    orientations), batched or not, contracted or not (round 3: the
+    planner bounds contracted coordinates exactly per step).  ``c_main``
+    is the main grids' channel count AFTER any trunk-layer folding.
     """
-    from .renderer_pallas import MAX_CELLS_PER_GRID
-
-    if cfg.contract_coords:
-        return None
     if getattr(cfg, "compute_dtype", "float32") == "bfloat16":
         return None  # f32 box scratch; bf16 grids keep the scan path
-    sizes = list(cfg.grid_sizes)
-    csizes = list(cfg.color_grid_sizes or ())
-    if len(sizes) != 1:
+    main = [_w3_geo(s, c_main) for s in cfg.grid_sizes]
+    if any(g is None for g in main):
         return None
-    (b, d, h, w, _c) = sizes[0]
-    if b * d * h * w <= MAX_CELLS_PER_GRID:
-        return None
-    main = _w3_geo(sizes[0], c_main)
-    if main is None:
-        return None
-    if not csizes:
-        return main, None
-    if len(csizes) != 1:
-        return None
-    (b2, d2, h2, w2, _c2) = csizes[0]
-    if b2 * d2 * h2 * w2 <= MAX_CELLS_PER_GRID:
-        return None  # mixed big-main + small-color: not implemented
-    color = _w3_geo(csizes[0], c_color)
-    if color is None:
-        return None
+    color = []
+    if cfg.color_grid_sizes is not None:
+        color = [_w3_geo(s, c_color) for s in cfg.color_grid_sizes]
+        if any(g is None for g in color):
+            return None
     return main, color
 
 
@@ -128,8 +163,6 @@ def w3_supported(cfg) -> bool:
     """Static feasibility (used by ``pallas_renderer_supported``): channel
     counts here are the raw grid channels — the t1 fold preserves
     alignment feasibility because hidden widths are powers of two too."""
-    if len(cfg.grid_sizes) != 1:
-        return False
     c_main = int(cfg.grid_sizes[0][-1])
     if cfg.color_grid_sizes is None and len(cfg.n_hidden_trunk) > 1:
         c_main = int(cfg.n_hidden_trunk[1])  # t1-folded width
@@ -140,40 +173,97 @@ def w3_supported(cfg) -> bool:
     return w3_geos(cfg, c_main, c_color) is not None
 
 
-def w3_plan(cfg, origins, dirs, near, far, K, bw, geos, B):
+def w3_plan(cfg, origins, dirs, near, far, K, bw, geos, B, gsel=None):
     """Host-side window starts + global fit flag.
 
     For each (ray-block, chunk, grid): ``(z0, y0, x0)`` int32 starts
     (y0 8-aligned, x0 AX-aligned) bounding every ALIVE sampling corner.
-    Alive = the sample's coordinates are inside ``(-1, S)`` on all three
-    axes; other samples have identically-zero stencils under any window.
-    Coordinates are linear in depth (no contraction in W3 mode), so each
-    ray's alive range is one interval whose endpoint coordinates bound
-    the chunk's alive extremes.
+
+    * Linear (uncontracted) coordinates: alive = the sample's coordinates
+      are inside ``(-1, S)`` on every active axis; other samples have
+      identically-zero stencils under any window.  Each ray's alive range
+      is one interval whose endpoint coordinates bound the chunk's alive
+      extremes.
+    * Contracted configs (round 3): coordinates are no longer linear in
+      depth, but only the SAMPLED points need bounding — the plan maps
+      every chunk step through the contraction and bounds the images
+      exactly (contracted points always land inside the volume, so no
+      alive intersection is needed).
+    * Batched grids fold the ray's batch index into kernel-z (``gsel``
+      required); a block mixing batch indices fails the fit and falls
+      back.  A plane's collapsed kernel-z axis contributes the constant 0.
 
     Returns ``(w0 [n_blocks_pad8, nc*3*G pad128] int32, fits_all)``.
     """
-    from .renderer_pallas import _host_chunk_endpoint_depths
+    from .renderer_pallas import (
+        _contract_pi,
+        _host_chunk_all_depths,
+        _host_chunk_endpoint_depths,
+    )
 
     R = origins.shape[0]
     n_blocks = R // B
-    t = _host_chunk_endpoint_depths(cfg, near, far, K, bw)  # [R, nc, 2]
+    contract = bool(getattr(cfg, "contract_coords", False))
+    if contract:
+        t = _host_chunk_all_depths(cfg, near, far, K, bw)  # [R, nc, Kc]
+        pts = (
+            origins[:, None, None, :] + t[..., None] * dirs[:, None, None, :]
+        )
+        pts = _contract_pi(pts)                            # [R, nc, Kc, 3]
+    else:
+        t = _host_chunk_endpoint_depths(cfg, near, far, K, bw)
     nc = t.shape[1]
     t_lo = jnp.min(t, axis=2)
     t_hi = jnp.max(t, axis=2)
+    gsel_f = None if gsel is None else gsel.astype(jnp.float32)
 
     cols = []
     fits = []
+
+    def lower(fmin, fmax, S_k, wsize, align):
+        empty = fmax < fmin                   # whole block-chunk dead
+        lo = jnp.floor(jnp.clip(fmin, -2.0, S_k + 2.0)).astype(jnp.int32)
+        hi = jnp.floor(
+            jnp.clip(fmax, -2.0, S_k + 2.0)
+        ).astype(jnp.int32) + 1
+        # the upper clip must itself be aligned, or the kernel's
+        # pl.multiple_of start hints would lie for S % align != 0
+        w0 = jnp.clip(
+            (lo // align) * align, 0, ((S_k - wsize) // align) * align
+        )
+        cols.append(jnp.where(empty, 0, w0))
+        fits.append(empty | (jnp.minimum(hi, S_k - 1) - w0 < wsize))
+
     for geo in geos:
-        axes = ((2, geo.D, W3_Z, 1), (1, geo.H, W3_Y, 8),
-                (0, geo.W, geo.WX, geo.AX))
-        ab = {}
+        # (src, local cells, kernel cells, window, align, fold batch?)
+        axes = (
+            (geo.src[0], geo.dz, geo.D, geo.WZ, 1, geo.batch > 1),
+            (geo.src[1], geo.H, geo.H, geo.WY, 8, False),
+            (geo.src[2], geo.W, geo.W, geo.WX, geo.AX, False),
+        )
+        if contract:
+            for (src, S_loc, S_k, wsize, align, fold) in axes:
+                if src < 0:
+                    f = jnp.zeros((R, nc, t.shape[2]), jnp.float32)
+                else:
+                    f = ((pts[..., src] + 1.0) * 0.5) * S_loc - 0.5
+                if fold:
+                    f = f + gsel_f[:, None, None] * S_loc
+                fr = f.reshape(n_blocks, B, nc, -1)
+                lower(fr.min(axis=(1, 3)), fr.max(axis=(1, 3)),
+                      S_k, wsize, align)
+            continue
+
+        ab = []
         enter = jnp.full((R,), -_BIG)
         exit_ = jnp.full((R,), _BIG)
-        for ax, S, _w, _a in axes:
-            a = ((origins[:, ax] + 1.0) * 0.5) * S - 0.5
-            b = dirs[:, ax] * (0.5 * S)
-            ab[ax] = (a, b)
+        for (src, S, _sk, _w, _a, _fold) in axes:
+            if src < 0:
+                ab.append(None)
+                continue
+            a = ((origins[:, src] + 1.0) * 0.5) * S - 0.5
+            b = dirs[:, src] * (0.5 * S)
+            ab.append((a, b))
             pos = b > 1e-12
             neg = b < -1e-12
             bs = jnp.where(jnp.abs(b) > 1e-12, b, 1.0)
@@ -189,22 +279,21 @@ def w3_plan(cfg, origins, dirs, near, far, K, bw, geos, B):
         ta = jnp.maximum(enter[:, None], t_lo)            # [R, nc]
         tb = jnp.minimum(exit_[:, None], t_hi)
         dead = ta > tb
-        for ax, S, wsize, align in axes:
-            a, b = ab[ax]
-            f1 = a[:, None] + ta * b[:, None]
-            f2 = a[:, None] + tb * b[:, None]
+        for (src, S_loc, S_k, wsize, align, fold), ab_i in zip(axes, ab):
+            if ab_i is None:
+                f1 = f2 = jnp.zeros((R, nc), jnp.float32)
+            else:
+                a, b = ab_i
+                f1 = a[:, None] + ta * b[:, None]
+                f2 = a[:, None] + tb * b[:, None]
+            if fold:
+                f1 = f1 + gsel_f[:, None] * S_loc
+                f2 = f2 + gsel_f[:, None] * S_loc
             fmin = jnp.where(dead, _BIG, jnp.minimum(f1, f2))
             fmax = jnp.where(dead, -_BIG, jnp.maximum(f1, f2))
             fmin = fmin.reshape(n_blocks, B, nc).min(axis=1)
             fmax = fmax.reshape(n_blocks, B, nc).max(axis=1)
-            empty = fmax < fmin                   # whole block-chunk dead
-            lo = jnp.floor(jnp.clip(fmin, -2.0, S + 2.0)).astype(jnp.int32)
-            hi = jnp.floor(
-                jnp.clip(fmax, -2.0, S + 2.0)
-            ).astype(jnp.int32) + 1
-            w0 = jnp.clip((lo // align) * align, 0, S - wsize)
-            cols.append(jnp.where(empty, 0, w0))
-            fits.append(empty | (jnp.minimum(hi, S - 1) - w0 < wsize))
+            lower(fmin, fmax, S_k, wsize, align)
     # [n_blocks, nc, G*3] -> [n_blocks, nc * G * 3] chunk-major
     w0 = jnp.stack(cols, axis=-1).reshape(n_blocks, -1)
     w0 = jnp.pad(w0, ((0, (-n_blocks) % 8), (0, (-w0.shape[1]) % 128)))
@@ -221,7 +310,8 @@ class _W3Sampler:
     """
 
     def __init__(self, geo: _W3Geo, hbm_ref, box_ref, sem, pts_ks,
-                 w0z, w0y, w0x, gout_ref=None, gbox_ref=None, gsem=None):
+                 w0z, w0y, w0x, gout_ref=None, gbox_ref=None, gsem=None,
+                 gsel_m=None):
         self.geo = geo
         self.box_ref = box_ref
         self.w0z, self.w0y, self.w0x = w0z, w0y, w0x
@@ -229,26 +319,41 @@ class _W3Sampler:
         self.gbox_ref = gbox_ref
         self.gsem = gsem
         cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, 0)
-        x = cat([p[:, 0:1] for p in pts_ks])
-        y = cat([p[:, 1:2] for p in pts_ks])
-        z = cat([p[:, 2:3] for p in pts_ks])
-        self.fx = ((x + 1.0) * 0.5) * geo.W - 0.5     # [M, 1] grid frame
-        self.fy = ((y + 1.0) * 0.5) * geo.H - 0.5
-        self.fz = ((z + 1.0) * 0.5) * geo.D - 0.5
+
+        def coord(src, S):
+            if src < 0:
+                return None
+            p = cat([pk[:, src: src + 1] for pk in pts_ks])
+            return ((p + 1.0) * 0.5) * S - 0.5        # [M, 1] grid frame
+
+        self.fx = coord(geo.src[2], geo.W)
+        self.fy = coord(geo.src[1], geo.H)
+        fz = coord(geo.src[0], geo.dz)
+        self._zlo = None
+        if geo.batch > 1:
+            base = gsel_m.astype(jnp.float32) * float(geo.dz)
+            fz = base if fz is None else fz + base
+            if geo.dz > 1:
+                # batch-region mask: an edge corner's +1 cell must not
+                # alias into the neighbouring batch element
+                self._zlo = gsel_m * geo.dz           # int32 [M, 1]
+        self.fz = fz   # None: collapsed singleton axis (hz == 1)
         self._st_zy = None
         self._hx = None
         self._waited = False
 
         def box_slice(ref):
             return ref.at[
-                pl.ds(w0z, W3_Z),
-                pl.ds(pl.multiple_of(w0y, 8), W3_Y),
+                pl.ds(w0z, geo.WZ),
+                pl.ds(pl.multiple_of(w0y, 8), geo.WY),
                 pl.ds(pl.multiple_of(w0x * geo.C, 128), geo.WX * geo.C),
             ]
 
         self._box_slice = box_slice
-        self._dma = pltpu.make_async_copy(box_slice(hbm_ref), box_ref, sem)
-        self._dma.start()
+        if hbm_ref is not None:
+            self._dma = pltpu.make_async_copy(
+                box_slice(hbm_ref), box_ref, sem)
+            self._dma.start()
         if gbox_ref is not None:
             # backward: prefetch the gradient box for the RMW splat.  The
             # previous chunk's store was awaited, so overlap is safe.
@@ -258,14 +363,23 @@ class _W3Sampler:
 
     def _stencil_zy(self):
         if self._st_zy is None:
-            li = jax.lax.broadcasted_iota(jnp.int32, (1, W3_Z * W3_Y), 1)
-            yv = (li % W3_Y).astype(jnp.float32) + self.w0y.astype(
+            geo = self.geo
+            li = jax.lax.broadcasted_iota(jnp.int32, (1, geo.zy), 1)
+            yv = (li % geo.WY).astype(jnp.float32) + self.w0y.astype(
                 jnp.float32)
-            zv = (li // W3_Y).astype(jnp.float32) + self.w0z.astype(
+            zv = (li // geo.WY).astype(jnp.float32) + self.w0z.astype(
                 jnp.float32)
-            hz = jnp.maximum(0.0, 1.0 - jnp.abs(zv - self.fz))
             hy = jnp.maximum(0.0, 1.0 - jnp.abs(yv - self.fy))
-            self._st_zy = hz * hy                       # [M, zy]
+            if self.fz is None:
+                self._st_zy = hy          # collapsed z: hz == 1 everywhere
+            else:
+                hz = jnp.maximum(0.0, 1.0 - jnp.abs(zv - self.fz))
+                if self._zlo is not None:
+                    lo = self._zlo.astype(jnp.float32)
+                    hz = hz * (
+                        (zv >= lo) & (zv < lo + geo.dz)
+                    ).astype(jnp.float32)
+                self._st_zy = hz * hy                   # [M, zy]
         return self._st_zy
 
     def _hx_cols(self):
@@ -302,7 +416,7 @@ class _W3Sampler:
     def _rmw(self, upd):
         geo = self.geo
         self._gdma.wait()
-        self.gbox_ref[...] += upd.reshape(W3_Z, W3_Y, geo.WX * geo.C)
+        self.gbox_ref[...] += upd.reshape(geo.WZ, geo.WY, geo.WX * geo.C)
         store = pltpu.make_async_copy(
             self.gbox_ref, self._box_slice(self.gout_ref), self.gsem)
         store.start()
@@ -339,20 +453,28 @@ class _W3Sampler:
 
 
 def make_w3_samplers(geos, hbm_refs, box_refs, sems, pts_ks, w0_ref, pid,
-                     ci, gout_refs=None, gbox_refs=None, gsems=None):
-    """Per-chunk W3 samplers (main list then color list, one grid each)."""
+                     ci, gout_refs=None, gbox_refs=None, gsems=None,
+                     gsel_m=None):
+    """Per-chunk W3 samplers (main list then color list).
+
+    ``hbm_refs[gi]=None`` builds a splat-only sampler (no sample DMA) —
+    the boxed-DMA splatter's forward uses only the RMW ``splat_accum``
+    path against ``gout_refs``.  ``gsel_m`` ([M, 1] int32, chunk-tiled)
+    is required when any geo is batched."""
     n_g = len(geos)
     out = []
     for gi, geo in enumerate(geos):
         base = ci * 3 * n_g + 3 * gi
         out.append(_W3Sampler(
-            geo, hbm_refs[gi], box_refs[gi], sems.at[gi], pts_ks,
+            geo, hbm_refs[gi], box_refs[gi],
+            None if sems is None else sems.at[gi], pts_ks,
             w0_ref[pid % 8, base],
             w0_ref[pid % 8, base + 1],
             w0_ref[pid % 8, base + 2],
             gout_ref=None if gout_refs is None else gout_refs[gi],
             gbox_ref=None if gbox_refs is None else gbox_refs[gi],
             gsem=None if gsems is None else gsems.at[gi],
+            gsel_m=gsel_m,
         ))
     return out
 
@@ -360,11 +482,11 @@ def make_w3_samplers(geos, hbm_refs, box_refs, sems, pts_ks, w0_ref, pid,
 def w3_scratch_shapes(geos, bw):
     """Box (and bw: gradient-box) VMEM buffers + DMA semaphores."""
     shapes = [
-        pltpu.VMEM((W3_Z, W3_Y, g.WX * g.C), jnp.float32) for g in geos
+        pltpu.VMEM((g.WZ, g.WY, g.WX * g.C), jnp.float32) for g in geos
     ]
     if bw:
         shapes += [
-            pltpu.VMEM((W3_Z, W3_Y, g.WX * g.C), jnp.float32)
+            pltpu.VMEM((g.WZ, g.WY, g.WX * g.C), jnp.float32)
             for g in geos
         ]
     shapes.append(pltpu.SemaphoreType.DMA((len(geos),)))

@@ -10,20 +10,31 @@ reference's global-memory ``tl.atomic_add`` splats
 (``grid_sample_util.py:40-99``) with deterministic dense algebra:
 
 1. **Phase A (XLA)**: march all ``R x S`` sample points, bucket each into
-   the ``8^3``-cell *octet* containing its lower sampling corner, and key
-   octets by their ``SUP x SUP``-cell z/y *slab* (full x extent).  One
-   ``lax.sort`` orders samples by (slab, octet); per-octet runs are padded
-   to 128-sample *bins* (slot->sample maps are all gathers + vectorized
-   binary searches — no scatters anywhere).
+   the octet of cells containing its lower sampling corner, and key
+   octets by their z/y *slab* (full x extent).  One ``lax.sort`` orders
+   samples by (slab, octet); per-octet runs are padded to 128-sample
+   *bins* (slot->sample maps are all gathers + vectorized binary
+   searches — no scatters anywhere).
 2. **Phase B (Pallas)**: the grid walks 32-bin groups in sorted order.
-   The kernel keeps the current slab's ``[SUP+1, SUP+1, PXp, 128]`` cell
-   box (+1 z/y halo; x and channel dims whole, as Mosaic requires of
-   HBM<->VMEM DMA slices — see splatter_big.py) as VMEM scratch — zeroed
-   on the slab's first group, DMA'd to the HBM accumulator on its last —
-   and splats each bin with one ``stencil^T @ values`` MXU matmul against
-   the bin's 9 x 9 x 16-cell window (trilinear hats vs the window's
-   absolute cell coordinates).  Each slab owns one contiguous group run,
-   so the accumulation is write-once and race-free.
+   The kernel keeps the current slab's ``[BZ, BY, PXp, 128]`` cell box
+   (+1 z/y halo; x and channel dims whole, as Mosaic requires of
+   HBM<->VMEM DMA slices) as VMEM scratch — RMW'd from/to the HBM
+   accumulator on the slab's first/last group — and splats each bin with
+   one ``stencil^T @ values`` MXU matmul against the bin's
+   ``WZ x WY x WX``-cell window (trilinear hats vs the window's absolute
+   cell coordinates).  Each slab owns one contiguous group run, so the
+   accumulation is race-free.
+
+**Grid-shape coverage** (round 3): every reference grid shape splats
+fused — voxel grids, all three plane orientations (``(1,H,W)``,
+``(D,1,W)``, ``(D,H,1)`` — reference plane-axis dispatch
+``grid_sample_util.py:1088-1186``), batched grids (``B > 1``), and
+multi-grid lists (one sort + one kernel pass per sub-grid, sharing the
+sample stream).  Each grid maps its axes onto a canonical *kernel frame*
+``(kz, ky, kx)``: a plane's singleton axis collapses to a 1-cell kernel-z
+(its two active axes become ky/kx in grid order), and a batch folds into
+kernel-z with a ``D+1`` per-batch stride so the +1 trilinear halo lands
+on a padding plane instead of the next batch element.
 
 The scheme is *exact* for every ray order, OOB policy, and contraction
 (out-of-window corners get zero hat weight, reproducing the zeros-padding
@@ -39,7 +50,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,26 +66,81 @@ from .renderer_pallas import MAX_CELLS_PER_GRID
 OCT = 8
 BIN = 128                     # samples per stencil matmul
 GBINS = 32                    # bins per Pallas grid step
-WZ, WY, WX = OCT + 1, OCT + 1, 2 * OCT     # bin window (+1 corner halo)
-WCELLS = WZ * WY * WX
 CPAD = 128                    # accumulator channel padding (DMA lane tile)
 _BOX_BUDGET = 40 * 1024 * 1024   # VMEM bytes for the slab scratch
+_ACC_BUDGET = 6 * 1024 ** 3      # HBM bytes for all padded accumulators
 _BIG = 1.0e9                  # coord sentinel: zero hat weight everywhere
 
 
 @dataclasses.dataclass(frozen=True)
 class _SortedGeo:
-    D: int
-    H: int
-    W: int
+    """Kernel-frame geometry of ONE sub-grid.
+
+    ``src`` maps each kernel axis (z, y, x) to the grid *coordinate* axis
+    feeding it (0=x, 1=y, 2=z in the sampling convention) — or -1 for a
+    plane's collapsed singleton axis (always kernel-z).  ``Dz``/``Hk``/
+    ``Wk`` are the kernel-frame cell extents of one batch element;
+    batches stack along kernel-z at stride ``Dz + 1``.
+    """
+
+    B: int                    # batch elements
+    gD: int                   # grid-frame shape (for crop/pad layout)
+    gH: int
+    gW: int
     C: int                    # feature channels
     C1: int                   # C + 1 (fused weight channel)
-    SUP: int                  # slab cells per z/y axis
+    src: Tuple[int, int, int]
+    Dz: int                   # kernel-z cells per batch element
+    Hk: int
+    Wk: int
+    SUPZ: int                 # slab cells per kernel z/y axis
+    SUPY: int
     nsz: int
     nsy: int
     PZ: int
     PY: int
     PXp: int                  # padded x extent (whole-dim DMA'd)
+
+    @property
+    def Dk(self):
+        """Total kernel-z cell extent (batches + their halo planes)."""
+        return self.B * (self.Dz + 1) if self.B > 1 else self.Dz
+
+    @property
+    def zstride(self):
+        return self.Dz + 1
+
+    @property
+    def BZ(self):             # box z extent (+1 halo unless singleton)
+        return self.SUPZ + 1 if self.Dk > 1 else 1
+
+    @property
+    def BY(self):
+        return self.SUPY + 1
+
+    @property
+    def WZ(self):             # bin window extents
+        return OCT + 1 if self.Dk > 1 else 1
+
+    @property
+    def WY(self):
+        return OCT + 1
+
+    @property
+    def WX(self):
+        return 2 * OCT
+
+    @property
+    def wcells(self):
+        return self.WZ * self.WY * self.WX
+
+    @property
+    def lz_n(self):           # octet locals per slab axis
+        return self.SUPZ // OCT if self.Dk > 1 else 1
+
+    @property
+    def ly_n(self):
+        return self.SUPY // OCT
 
     @property
     def n_sup(self):
@@ -84,59 +150,89 @@ class _SortedGeo:
     def n_loc_x(self):
         # x-octets that contain real cells (the +OCT halo of PXp never
         # holds a sample's lower corner, so it gets no octet)
-        return -(-self.W // OCT)
+        return -(-self.Wk // OCT)
 
     @property
     def n_loc(self):
-        # octet locals per slab: z, y within the slab; x over the full row
-        return (self.SUP // OCT) ** 2 * self.n_loc_x
+        return self.lz_n * self.ly_n * self.n_loc_x
 
     @property
     def n_keys(self):
         return self.n_sup * self.n_loc
 
-
-def _slab_side(pxp: int) -> int:
-    for sup in (32, 16, 8):
-        if (sup + 1) ** 2 * pxp * CPAD * 4 <= _BOX_BUDGET:
-            return sup
-    return 0
+    @property
+    def acc_bytes(self):
+        return self.PZ * self.PY * self.PXp * CPAD * 4
 
 
-def sorted_geo(cfg) -> _SortedGeo:
-    (b, d, h, w, c), = cfg.output_grid_sizes
-    pxp = -(-w // OCT) * OCT + OCT
-    sup = _slab_side(pxp)
-    nsz = -(-d // sup)
-    nsy = -(-h // sup)
-    return _SortedGeo(
-        D=d, H=h, W=w, C=c, C1=c + 1, SUP=sup, nsz=nsz, nsy=nsy,
-        PZ=nsz * sup + 1, PY=nsy * sup + 1, PXp=pxp,
-    )
+def _kernel_axes(b, d, h, w) -> Optional[Tuple[Tuple[int, int, int],
+                                               int, int, int]]:
+    """(src, Dz, Hk, Wk) for one grid shape, or None if unsupported.
+
+    Grid dims (d, h, w) sample coordinates (z=2, y=1, x=0).  A plane's
+    two active axes keep their grid order as (ky, kx); its singleton
+    collapses to kernel-z.
+    """
+    dims = [(2, d), (1, h), (0, w)]
+    actives = [(ax, s) for ax, s in dims if s > 1]
+    if len(actives) == 3:
+        return (2, 1, 0), d, h, w
+    if len(actives) == 2:
+        (ay, sy), (ax_, sx) = actives
+        return (-1, ay, ax_), 1, sy, sx
+    return None
+
+
+def sorted_geos(cfg) -> Optional[List[_SortedGeo]]:
+    """Per-sub-grid kernel geometry, or None when any grid is
+    unsupported (fewer than 2 active axes, channels beyond CPAD, or the
+    padded accumulators exceed the HBM budget)."""
+    if cfg.out_chn + 1 > CPAD:
+        return None
+    geos = []
+    total = 0
+    for (b, d, h, w, c) in cfg.output_grid_sizes:
+        ka = _kernel_axes(b, d, h, w)
+        if ka is None:
+            return None
+        src, Dz, Hk, Wk = ka
+        Dk = b * (Dz + 1) if b > 1 else Dz
+        pxp = -(-Wk // OCT) * OCT + OCT
+        zcap = max(OCT, -(-Dk // OCT) * OCT)
+        ycap = max(OCT, -(-Hk // OCT) * OCT)
+        supz = supy = 0
+        for s in (32, 16, 8):
+            sz = 1 if Dk == 1 else min(s, zcap)
+            sy = min(s, ycap)
+            bz = sz + 1 if Dk > 1 else 1
+            if bz * (sy + 1) * pxp * CPAD * 4 <= _BOX_BUDGET:
+                supz, supy = sz, sy
+                break
+        if supy == 0:
+            return None
+        nsz = -(-Dk // supz)
+        nsy = -(-Hk // supy)
+        geo = _SortedGeo(
+            B=b, gD=d, gH=h, gW=w, C=c, C1=c + 1, src=src,
+            Dz=Dz, Hk=Hk, Wk=Wk, SUPZ=supz, SUPY=supy, nsz=nsz, nsy=nsy,
+            PZ=nsz * supz + 1, PY=nsy * supy + 1, PXp=pxp,
+        )
+        total += geo.acc_bytes
+        geos.append(geo)
+    if total > _ACC_BUDGET:
+        return None
+    return geos
 
 
 def sorted_splat_supported(cfg) -> bool:
-    """Single-grid single-batch voxel splats with C+1 <= 128 channels.
-
-    MLP (fused input-grid) variants are supported: the per-sample fused
-    vectors are computed XLA-side as one batched MLP over the chunk's
-    sample stream (``ops/splatter.py:_fused_sample_chunk``) and enter the
-    kernel as per-sample value rows (:func:`sorted_vals_sample`)."""
-    if len(cfg.output_grid_sizes) != 1:
-        return False
-    b, d, h, w, c = cfg.output_grid_sizes[0]
-    if b != 1 or d <= 1 or h <= 1 or w <= 1:
-        return False
-    if c + 1 > CPAD:
-        return False
-    # small grids are handled wholly in VMEM by splatter_pallas
-    if d * h * w <= MAX_CELLS_PER_GRID:
-        return False
-    geo = sorted_geo(cfg)
-    if geo.SUP == 0:
-        return False
-    # bound the channel-padded HBM accumulator
-    return geo.PZ * geo.PY * geo.PXp * CPAD * 4 <= 6 * 1024 ** 3
+    """Capability: voxel grids, all plane orientations, batches, and
+    multi-grid lists with C+1 <= 128 channels — any ray order or
+    contraction.  MLP (fused input-grid) variants are supported: the
+    per-sample fused vectors are computed XLA-side as one batched MLP
+    over the chunk's sample stream (``ops/splatter.py:
+    _fused_sample_chunk``) and enter the kernel as per-sample value rows
+    (:func:`sorted_vals_sample`)."""
+    return sorted_geos(cfg) is not None
 
 
 def _caps(geo: _SortedGeo, N: int):
@@ -147,14 +243,12 @@ def _caps(geo: _SortedGeo, N: int):
     return n_bins_cap, n_groups_cap
 
 
-def _grid_frame_coords(cfg, geo, origins, directions, near, far, step):
-    """Grid-frame (align_corners=False) coords for (ray geometry, step).
-
-    Shared by the pre-sort key pass (broadcast ``[R, S]`` inputs) and the
-    post-sort per-slot recompute (flat ``[Npad]`` inputs): the two passes
-    must produce *bitwise-identical* floats so a sample's hat weights match
-    the octet key it was sorted under — both call this one function with
-    identical elementwise expressions.
+def _march_points(cfg, origins, directions, near, far, step):
+    """Sample points for (ray geometry, step) — the shared elementwise
+    expression.  The pre-sort key pass and the post-sort per-slot
+    recompute must produce *bitwise-identical* floats so a sample's hat
+    weights match the octet key it was sorted under — both call this one
+    function (and :func:`_kernel_coords`) with identical expressions.
     """
     from ..naive_renderer import _contract_pi
 
@@ -173,20 +267,44 @@ def _grid_frame_coords(cfg, geo, origins, directions, near, far, step):
     pts = origins + t[..., None] * directions
     if cfg.contract_coords:
         pts = _contract_pi(pts)
-    fx = ((pts[..., 0] + 1.0) * 0.5) * geo.W - 0.5
-    fy = ((pts[..., 1] + 1.0) * 0.5) * geo.H - 0.5
-    fz = ((pts[..., 2] + 1.0) * 0.5) * geo.D - 0.5
-    return fz, fy, fx, pts
+    return pts
 
 
-def sorted_plan(cfg, geom):
+def _kernel_coords(geo: _SortedGeo, pts, gidx):
+    """Kernel-frame (align_corners=False) coords of sample points.
+
+    ``gidx`` selects the batch element; batches stack along kernel-z at
+    ``zstride`` so trilinear halos land on padding planes.
+    """
+    def f(axis_src, size):
+        if axis_src < 0:
+            return jnp.zeros(pts.shape[:-1], jnp.float32)
+        return ((pts[..., axis_src] + 1.0) * 0.5) * size - 0.5
+
+    fz = f(geo.src[0], geo.Dz)
+    fy = f(geo.src[1], geo.Hk)
+    fx = f(geo.src[2], geo.Wk)
+    if geo.B > 1:
+        # The +1 halo plane only absorbs corners one cell past the batch
+        # edge; a sample with fz outside (-1, Dz) would alias into the
+        # NEIGHBOURING batch's cells after the fold, so it is sent to the
+        # sentinel instead (zeros-padding semantics: its hat weights are
+        # identically zero against its own batch anyway).
+        inside = (fz > -1.0) & (fz < geo.Dz)
+        fz = jnp.where(
+            inside, fz + gidx.astype(jnp.float32) * geo.zstride, _BIG
+        )
+    return fz, fy, fx
+
+
+def sorted_plan(cfg, geo: _SortedGeo, geom):
     """Phase A: sort samples into octet bins; build all kernel-side tables.
 
     Performance shape (measured on v5e at the 160^3x64 bench chunking,
     ~4.2M samples/chunk): a 5-stream ``lax.sort`` costs ~15x a 2-stream
     one, and gathering narrow ``[N, 3]`` coordinate rows through the padded
     slot map costs ~200 ms — so the plan sorts ONLY ``(key, sample_id)``
-    and *recomputes* each slot's coordinates from an 8-wide per-ray
+    and *recomputes* each slot's coordinates from a 9-wide per-ray
     geometry table (a small-source gather: ~44k rows), instead of carrying
     the coordinates through the sort and slot gathers.  Dead samples
     (invalid rays, masked OOB) get key ``n_keys`` — a trailing bucket that
@@ -194,7 +312,7 @@ def sorted_plan(cfg, geom):
     zeros.
 
     Returns a dict of device arrays (static shapes from ``_caps``):
-      fzT/fyT/fxT  [n_groups_cap*BIN, GBINS] grid-frame sample coords,
+      fzT/fyT/fxT  [n_groups_cap*BIN, GBINS] kernel-frame sample coords,
                    transposed so bin q's samples are column q of its group
       table        [ngc8, 128] i32 per-group SMEM rows
                    (slab z/y starts, first, last, GBINS x (dz, dy, dx))
@@ -203,29 +321,30 @@ def sorted_plan(cfg, geom):
                    (``Npad`` = dead: points at the bw pass's zero row)
     """
     directions, origins, near, far, grid_idx, valid_mask = geom
-    geo = sorted_geo(cfg)
     R = directions.shape[0]
     S = cfg.tot_num_samples
     N = R * S
     n_bins_cap, n_groups_cap = _caps(geo, N)
     n_bins_pad = n_groups_cap * GBINS
     Npad = n_bins_pad * BIN
-    lz_n = geo.SUP // OCT
-    lx_n = geo.n_loc_x
+    lz_n, ly_n, lx_n = geo.lz_n, geo.ly_n, geo.n_loc_x
 
     step = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (R, S))
-    fz, fy, fx, pts = _grid_frame_coords(
-        cfg, geo, origins[:, None, :], directions[:, None, :],
+    pts = _march_points(
+        cfg, origins[:, None, :], directions[:, None, :],
         near[:, None], far[:, None], step,
     )
+    fz, fy, fx = _kernel_coords(geo, pts, grid_idx[:, None])
 
-    cz = jnp.clip(jnp.floor(fz), 0, geo.D - 1).astype(jnp.int32)
-    cy = jnp.clip(jnp.floor(fy), 0, geo.H - 1).astype(jnp.int32)
-    cx = jnp.clip(jnp.floor(fx), 0, geo.W - 1).astype(jnp.int32)
-    sz, sy = cz // geo.SUP, cy // geo.SUP
-    lz, ly, lx = (cz // OCT) % lz_n, (cy // OCT) % lz_n, cx // OCT
+    cz = jnp.clip(jnp.floor(fz), 0, geo.Dk - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.floor(fy), 0, geo.Hk - 1).astype(jnp.int32)
+    cx = jnp.clip(jnp.floor(fx), 0, geo.Wk - 1).astype(jnp.int32)
+    sz, sy = cz // geo.SUPZ, cy // geo.SUPY
+    lz = (cz // OCT) % lz_n if geo.Dk > 1 else cz * 0
+    ly = (cy // OCT) % ly_n
+    lx = cx // OCT
     key = ((sz * geo.nsy + sy) * geo.n_loc
-           + (lz * lz_n + ly) * lx_n + lx)
+           + (lz * ly_n + ly) * lx_n + lx)
 
     # dead samples -> trailing bucket (sorted past every live key, binned
     # never)
@@ -286,8 +405,13 @@ def sorted_plan(cfg, geom):
         [idx_s, jnp.full((1,), N, jnp.int32)]
     )
     slot_sample = jnp.take(idx_s_app, src)                     # [Npad]
-    ray_lin = slot_sample // S
-    ray_pad = jnp.minimum(ray_lin, R - 1)                      # [Npad]
+    # pad slots gather the ZERO sentinel row (R) rather than a real
+    # ray's features: the _BIG coordinate masking already zeroes their
+    # hat weights, but defense-in-depth keeps a masking bug from
+    # silently splatting a real ray (ADVICE r2)
+    ray_pad = jnp.where(
+        slot_sample >= N, R, jnp.minimum(slot_sample // S, R - 1)
+    )                                                          # [Npad]
 
     def groupT(col):
         return (
@@ -297,22 +421,25 @@ def sorted_plan(cfg, geom):
         )
 
     # recompute coords per slot, directly in the kernel's transposed
-    # layout: an 8-wide row gather from the [R+1, 8] geometry table plus
+    # layout: a 9-wide row gather from the [R+1, 9] geometry table plus
     # elementwise math (bitwise-equal to the key pass — see
-    # _grid_frame_coords)
+    # _march_points / _kernel_coords)
     sampleT = groupT(slot_sample)                              # [ngcB, GB]
     rayT = jnp.minimum(sampleT // S, R)
     stepT = sampleT % S
-    g8 = jnp.concatenate(
-        [origins, directions, near[:, None], far[:, None]], axis=1
+    g9 = jnp.concatenate(
+        [origins, directions, near[:, None], far[:, None],
+         grid_idx[:, None].astype(jnp.float32)], axis=1,
     ).astype(jnp.float32)
-    g8 = jnp.concatenate([g8, jnp.zeros((1, 8), jnp.float32)], axis=0)
-    g8T = jnp.take(g8, rayT.reshape(-1), axis=0).reshape(
-        rayT.shape + (8,)
+    g9 = jnp.concatenate([g9, jnp.zeros((1, 9), jnp.float32)], axis=0)
+    g9T = jnp.take(g9, rayT.reshape(-1), axis=0).reshape(
+        rayT.shape + (9,)
     )
-    fzT, fyT, fxT, _ = _grid_frame_coords(
-        cfg, geo, g8T[..., 0:3], g8T[..., 3:6], g8T[..., 6], g8T[..., 7],
-        stepT,
+    ptsT = _march_points(
+        cfg, g9T[..., 0:3], g9T[..., 3:6], g9T[..., 6], g9T[..., 7], stepT,
+    )
+    fzT, fyT, fxT = _kernel_coords(
+        geo, ptsT, g9T[..., 8].astype(jnp.int32)
     )
     pad_slot = sampleT == N
     fzT = jnp.where(pad_slot, _BIG, fzT)
@@ -331,11 +458,11 @@ def sorted_plan(cfg, geom):
     s_y = sup % geo.nsy
     oct_g = bin_oct.reshape(n_groups_cap, GBINS)
     loc = oct_g % geo.n_loc
-    dz = (loc // (lz_n * lx_n)) * OCT
-    dy = ((loc // lx_n) % lz_n) * OCT
+    dz = (loc // (ly_n * lx_n)) * OCT
+    dy = ((loc // lx_n) % ly_n) * OCT
     dx = (loc % lx_n) * OCT
     cols = [
-        s_z * geo.SUP, s_y * geo.SUP,
+        s_z * geo.SUPZ, s_y * geo.SUPY,
         first.astype(jnp.int32), last.astype(jnp.int32),
     ]
     table = jnp.concatenate(
@@ -352,11 +479,11 @@ def sorted_plan(cfg, geom):
     }
 
 
-def _stencil_bin(fz, fy, fx, az0, ay0, ax0, iot):
-    """[BIN, WCELLS] trilinear hat stencil of one bin against its window.
+def _stencil_bin(geo, fz, fy, fx, az0, ay0, ax0, iot):
+    """[BIN, wcells] trilinear hat stencil of one bin against its window.
 
     ``az0``.. are the window's absolute start cells (traced scalars),
-    ``iot`` the precomputed [1, WCELLS] relative (z, y, x) cell iotas.
+    ``iot`` the precomputed [1, wcells] relative (z, y, x) cell iotas.
     """
     rz, ry, rx = iot
     hz = jnp.maximum(0.0, 1.0 - jnp.abs(rz + az0.astype(jnp.float32) - fz))
@@ -365,16 +492,17 @@ def _stencil_bin(fz, fy, fx, az0, ay0, ax0, iot):
     return hz * hy * hx
 
 
-def _win_iotas():
-    li = jax.lax.broadcasted_iota(jnp.int32, (1, WCELLS), 1)
-    rz = (li // (WY * WX)).astype(jnp.float32)
-    ry = ((li // WX) % WY).astype(jnp.float32)
-    rx = (li % WX).astype(jnp.float32)
+def _win_iotas(geo):
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, geo.wcells), 1)
+    rz = (li // (geo.WY * geo.WX)).astype(jnp.float32)
+    ry = ((li // geo.WX) % geo.WY).astype(jnp.float32)
+    rx = (li % geo.WX).astype(jnp.float32)
     return rz, ry, rx
 
 
 def _build_fw_kernel(geo: _SortedGeo):
-    BZ = BY = geo.SUP + 1
+    BZ, BY = geo.BZ, geo.BY
+    WZ, WY, WX = geo.WZ, geo.WY, geo.WX
 
     def kernel(tab_ref, fzT_ref, fyT_ref, fxT_ref, vals_ref,
                _grid_in, grid_out, scratch, sem):
@@ -397,7 +525,7 @@ def _build_fw_kernel(geo: _SortedGeo):
             cp.start()
             cp.wait()
 
-        iot = _win_iotas()
+        iot = _win_iotas(geo)
         for q in range(GBINS):
             fz = fzT_ref[:, q:q + 1]
             fy = fyT_ref[:, q:q + 1]
@@ -405,7 +533,7 @@ def _build_fw_kernel(geo: _SortedGeo):
             dz = tab_ref[r, 4 + q]
             dy = tab_ref[r, 4 + GBINS + q]
             dx = tab_ref[r, 4 + 2 * GBINS + q]
-            st = _stencil_bin(fz, fy, fx, bz + dz, by + dy, dx, iot)
+            st = _stencil_bin(geo, fz, fy, fx, bz + dz, by + dy, dx, iot)
             # vals arrive pre-padded to CPAD lanes (zero beyond C1): the
             # matmul output drops straight into the scratch window with no
             # per-bin lane pad/relayout.
@@ -413,7 +541,7 @@ def _build_fw_kernel(geo: _SortedGeo):
                 st, vals_ref[q * BIN:(q + 1) * BIN, :],
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                          # [WCELLS, CPAD]
+            )                                          # [wcells, CPAD]
             scratch[pl.ds(dz, WZ), pl.ds(dy, WY), pl.ds(dx, WX), :] += (
                 upd.reshape(WZ, WY, WX, CPAD)
             )
@@ -434,7 +562,8 @@ def _build_fw_kernel(geo: _SortedGeo):
 
 
 def _build_bw_kernel(geo: _SortedGeo):
-    BZ = BY = geo.SUP + 1
+    BZ, BY = geo.BZ, geo.BY
+    WZ, WY, WX = geo.WZ, geo.WY, geo.WX
 
     def kernel(tab_ref, fzT_ref, fyT_ref, fxT_ref, ggrid_hbm,
                out_ref, scratch, sem):
@@ -454,7 +583,7 @@ def _build_bw_kernel(geo: _SortedGeo):
             cp.start()
             cp.wait()
 
-        iot = _win_iotas()
+        iot = _win_iotas(geo)
         for q in range(GBINS):
             fz = fzT_ref[:, q:q + 1]
             fy = fyT_ref[:, q:q + 1]
@@ -462,10 +591,10 @@ def _build_bw_kernel(geo: _SortedGeo):
             dz = tab_ref[r, 4 + q]
             dy = tab_ref[r, 4 + GBINS + q]
             dx = tab_ref[r, 4 + 2 * GBINS + q]
-            st = _stencil_bin(fz, fy, fx, bz + dz, by + dy, dx, iot)
+            st = _stencil_bin(geo, fz, fy, fx, bz + dz, by + dy, dx, iot)
             win = scratch[
                 pl.ds(dz, WZ), pl.ds(dy, WY), pl.ds(dx, WX), :
-            ].reshape(WCELLS, CPAD)
+            ].reshape(geo.wcells, CPAD)
             # keep all CPAD lanes (zeros beyond C): full-lane rows unsort
             # ~3x faster than C-lane rows, and the lane slice is free after
             # the per-ray step sum.
@@ -486,8 +615,9 @@ def sorted_vals(geo: _SortedGeo, plan, splatting_feature, valid_mask):
     ).astype(jnp.float32)                                      # [R, C1]
     # Pad channels to the 128-lane tile BEFORE the slot gather: full-lane
     # rows gather ~3x faster than 65-lane rows on TPU, and the kernel then
-    # consumes CPAD-wide value rows with no per-bin pad.
-    feat_pad = jnp.pad(feat_aug, ((0, 0), (0, CPAD - geo.C1)))
+    # consumes CPAD-wide value rows with no per-bin pad.  One trailing
+    # zero row serves the pad-slot sentinel (ray index R).
+    feat_pad = jnp.pad(feat_aug, ((0, 1), (0, CPAD - geo.C1)))
     return jnp.take(feat_pad, plan["ray_pad"], axis=0)         # [Npad, CPAD]
 
 
@@ -513,7 +643,7 @@ def sorted_vals_sample(geo: _SortedGeo, plan, fused, valid_mask):
     return jnp.take(feat_pad, plan["sample_pad"], axis=0)      # [Npad, CPAD]
 
 
-def sorted_splat_acc(cfg, plan, vals, acc):
+def sorted_splat_acc(cfg, geo, plan, vals, acc):
     """One chunk's sorted splat, read-modify-writing the padded HBM
     accumulator ``acc [PZ, PY, PXp, CPAD]`` (aliased input->output).
 
@@ -521,8 +651,7 @@ def sorted_splat_acc(cfg, plan, vals, acc):
     buffer live for the whole ray set — the round-1 per-chunk zero grids +
     [V, C] adds were the main OOM driver at the reference's 160^3 x 64ch
     splatter benchmark config (16 GB v5e)."""
-    geo = sorted_geo(cfg)
-    BZ = BY = geo.SUP + 1
+    BZ, BY = geo.BZ, geo.BY
     n_groups_cap = plan["fzT"].shape[0] // BIN
 
     kernel = _build_fw_kernel(geo)
@@ -554,43 +683,48 @@ def sorted_splat_acc(cfg, plan, vals, acc):
     return padded
 
 
-def crop_acc(cfg, acc):
-    """Slice the padded accumulator into flat ``(feat [V, C], w [V, 1])``."""
-    geo = sorted_geo(cfg)
-    core = acc[: geo.D, : geo.H, : geo.W, :]
-    V = geo.D * geo.H * geo.W
-    feat_grid = core[..., : geo.C].reshape(V, geo.C)
-    w_grid = core[..., geo.C: geo.C1].reshape(V, 1)
-    return feat_grid, w_grid
+def crop_acc(geo: _SortedGeo, acc):
+    """Slice the padded kernel-frame accumulator into flat grid-frame
+    ``(feat [V, C], w [V, 1])`` (un-permuting plane axes, dropping batch
+    halo planes)."""
+    if geo.B > 1:
+        core = acc[: geo.B * geo.zstride].reshape(
+            geo.B, geo.zstride, geo.PY, geo.PXp, CPAD
+        )[:, : geo.Dz, : geo.Hk, : geo.Wk, :]
+    else:
+        core = acc[None, : geo.Dz, : geo.Hk, : geo.Wk, :]
+    # kernel frame [B, Dz, Hk, Wk] -> grid frame [B, gD, gH, gW]: a plane's
+    # singleton axis moved to kernel-z with the active axes kept in grid
+    # order, so the inverse is a pure reshape
+    core = core.reshape(geo.B, geo.gD, geo.gH, geo.gW, CPAD)
+    V = geo.B * geo.gD * geo.gH * geo.gW
+    flat = core.reshape(V, CPAD)
+    return flat[:, : geo.C], flat[:, geo.C: geo.C1]
 
 
-def sorted_splat_fwd(cfg, geom, diff):
-    """Single-launch sorted splat (no chunking); returns flat
-    ``(feat [V, C], weight [V, 1])`` plus the plan (reused by the bw
-    pass).  The production path chunks rays and threads the accumulator
-    (``ops/splatter.py:_sorted_fwd_impl``)."""
-    geo = sorted_geo(cfg)
-    plan = sorted_plan(cfg, geom)
-    vals = sorted_vals(geo, plan, diff[0], geom[5])
-    acc = jnp.zeros((geo.PZ, geo.PY, geo.PXp, CPAD), jnp.float32)
-    acc = sorted_splat_acc(cfg, plan, vals, acc)
-    return crop_acc(cfg, acc), plan
-
-
-def pad_grad_grid(cfg, g_feat_grid):
-    """Pad the flat incoming gradient ``[V, C]`` to the kernel's
-    ``[PZ, PY, PXp, CPAD]`` box layout (done once per backward, shared by
-    every ray chunk)."""
-    geo = sorted_geo(cfg)
-    gg = g_feat_grid.reshape(geo.D, geo.H, geo.W, geo.C)
+def pad_grad_grid(geo: _SortedGeo, g_feat_grid):
+    """Pad the flat grid-frame incoming gradient ``[V, C]`` to the
+    kernel's ``[PZ, PY, PXp, CPAD]`` box layout (done once per backward,
+    shared by every ray chunk)."""
+    gg = g_feat_grid.reshape(geo.B, geo.gD, geo.gH, geo.gW, geo.C)
+    gg = jnp.pad(gg, ((0, 0),) * 4 + ((0, CPAD - geo.C),))
+    # grid frame -> kernel frame (pure reshape; see crop_acc)
+    gg = gg.reshape(geo.B, geo.Dz, geo.Hk, geo.Wk, CPAD)
+    if geo.B > 1:
+        gg = jnp.pad(
+            gg, ((0, 0), (0, 1), (0, geo.PY - geo.Hk),
+                 (0, geo.PXp - geo.Wk), (0, 0)),
+        ).reshape(geo.B * geo.zstride, geo.PY, geo.PXp, CPAD)
+        return jnp.pad(gg, ((0, geo.PZ - geo.B * geo.zstride), (0, 0),
+                            (0, 0), (0, 0)))
     return jnp.pad(
-        gg,
-        ((0, geo.PZ - geo.D), (0, geo.PY - geo.H), (0, geo.PXp - geo.W),
-         (0, CPAD - geo.C)),
+        gg[0],
+        ((0, geo.PZ - geo.Dz), (0, geo.PY - geo.Hk),
+         (0, geo.PXp - geo.Wk), (0, 0)),
     )
 
 
-def sorted_splat_bwd(cfg, plan, R, gg, per_sample: bool = False):
+def sorted_splat_bwd(cfg, geo, plan, R, gg, per_sample: bool = False):
     """Adjoint gather: per-sample grads from the padded gradient grid
     ``gg [PZ, PY, PXp, CPAD]`` (see :func:`pad_grad_grid`), un-sorted and
     summed over march steps -> ``g_encoding [R, C]``.
@@ -599,9 +733,8 @@ def sorted_splat_bwd(cfg, plan, R, gg, per_sample: bool = False):
     before the ray sum — the MLP splatter's backward uses it as the
     cotangent of the per-sample fused vectors (reference
     ``templates/splatter_bw.py:183-394`` semantics)."""
-    geo = sorted_geo(cfg)
     S = cfg.tot_num_samples
-    BZ = BY = geo.SUP + 1
+    BZ, BY = geo.BZ, geo.BY
     n_groups_cap = plan["fzT"].shape[0] // BIN
     Npad = n_groups_cap * GBINS * BIN
 

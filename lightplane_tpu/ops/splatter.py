@@ -319,10 +319,12 @@ _splat_core_big.defvjp(_splat_big_fwd, _splat_big_bwd)
 _SORTED_CHUNK_SAMPLES = 4_194_304
 
 
-def _sorted_chunk_shape(R: int, S: int, mlp: bool = False):
+def _sorted_chunk_shape(R: int, S: int, mlp: bool = False,
+                        n_grids: int = 1):
     # MLP configs halve the chunk: the fused per-sample feature stream and
-    # its VJP intermediates add several [chunk_N, C] f32 buffers.
-    cap = _SORTED_CHUNK_SAMPLES // (2 if mlp else 1)
+    # its VJP intermediates add several [chunk_N, C] f32 buffers.  Multi-
+    # grid lists hold one plan's tables per sub-grid at a time.
+    cap = _SORTED_CHUNK_SAMPLES // (2 if mlp else 1) // max(1, n_grids)
     n_chunks = max(1, -(-(R * S) // cap))
     chunk_r = -(-R // n_chunks)
     return n_chunks, chunk_r
@@ -345,7 +347,7 @@ def _fused_sample_chunk(cfg: _SplatCfg, geom_c, encoding, input_grid_flat,
     on the MXU — FLOP-identical to the fused kernel, at MXU-friendly
     batch shapes instead of 16-ray register blocks.  Coordinates reuse the
     sorted plan's exact elementwise expressions
-    (``splatter_sorted._grid_frame_coords``) so values and sort keys
+    (``splatter_sorted._march_points``) so values and sort keys
     describe identical points.  Invalid (chunk-padding) rays are zeroed
     *here* so the custom VJP's cotangent flows through the mask.
     """
@@ -354,10 +356,9 @@ def _fused_sample_chunk(cfg: _SplatCfg, geom_c, encoding, input_grid_flat,
     directions, origins, near, far, grid_idx, valid = geom_c
     R = directions.shape[0]
     S = cfg.tot_num_samples
-    geo = ss.sorted_geo(cfg)
     step = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (R, S))
-    _fz, _fy, _fx, pts = ss._grid_frame_coords(
-        cfg, geo, origins[:, None, :], directions[:, None, :],
+    pts = ss._march_points(
+        cfg, origins[:, None, :], directions[:, None, :],
         near[:, None], far[:, None], step,
     )
     pts = pts.reshape(R * S, 3)
@@ -382,60 +383,96 @@ def _fused_sample_chunk(cfg: _SplatCfg, geom_c, encoding, input_grid_flat,
 def _sorted_fwd_impl(cfg: _SplatCfg, geom, diff):
     """Chunk-scanned sorted splat: pad rays to equal chunks (padding rows
     have valid_mask=0 so the plan kills them via the _BIG coord sentinel),
-    then scan the chunks over one padded HBM accumulator."""
+    then scan the chunks over one padded HBM accumulator per sub-grid
+    (multi-grid lists run one sort + one kernel pass per sub-grid,
+    sharing the chunk's sample stream)."""
     from .kernels import splatter_sorted as ss
 
-    geo = ss.sorted_geo(cfg)
+    geos = ss.sorted_geos(cfg)
     R = geom[0].shape[0]
     splatting_feature, input_grid_flat, mlp_params = diff
     with_mlp = len(cfg.n_hidden) > 0
     n_chunks, chunk_r = _sorted_chunk_shape(
-        R, cfg.tot_num_samples, mlp=with_mlp
+        R, cfg.tot_num_samples, mlp=with_mlp, n_grids=len(geos)
     )
     Rp = n_chunks * chunk_r
     stack = lambda a: _pad_rows(a, Rp).reshape(
         (n_chunks, chunk_r) + a.shape[1:]
     )
     xs = tuple(stack(a) for a in geom) + (stack(splatting_feature),)
-    acc0 = jnp.zeros((geo.PZ, geo.PY, geo.PXp, ss.CPAD), jnp.float32)
+    accs0 = tuple(
+        jnp.zeros((g.PZ, g.PY, g.PXp, ss.CPAD), jnp.float32) for g in geos
+    )
 
-    def body(acc, xs_c):
+    def body(accs, xs_c):
         geom_c, feat_c = xs_c[:-1], xs_c[-1]
-        plan = ss.sorted_plan(cfg, geom_c)
-        if with_mlp:
-            fused = _fused_sample_chunk(
+        fused = (
+            _fused_sample_chunk(
                 cfg, geom_c, feat_c, input_grid_flat, mlp_params
             )
-            vals = ss.sorted_vals_sample(geo, plan, fused, geom_c[5])
-        else:
-            vals = ss.sorted_vals(geo, plan, feat_c, geom_c[5])
-        return ss.sorted_splat_acc(cfg, plan, vals, acc), None
+            if with_mlp else None
+        )
+        out = []
+        for geo, acc in zip(geos, accs):
+            plan = ss.sorted_plan(cfg, geo, geom_c)
+            if with_mlp:
+                vals = ss.sorted_vals_sample(geo, plan, fused, geom_c[5])
+            else:
+                vals = ss.sorted_vals(geo, plan, feat_c, geom_c[5])
+            out.append(ss.sorted_splat_acc(cfg, geo, plan, vals, acc))
+        return tuple(out), None
 
     if n_chunks == 1:
-        acc, _ = body(acc0, tuple(a[0] for a in xs))
+        accs, _ = body(accs0, tuple(a[0] for a in xs))
     else:
-        acc, _ = jax.lax.scan(body, acc0, xs)
-    return ss.crop_acc(cfg, acc)
+        accs, _ = jax.lax.scan(body, accs0, xs)
+    feats, ws = zip(*[
+        ss.crop_acc(geo, acc) for geo, acc in zip(geos, accs)
+    ])
+    cat = lambda parts: (
+        parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    )
+    return cat(feats), cat(ws)
+
+
+def _sorted_grad_grids(cfg, geos, g_feat_grid):
+    """Per-sub-grid padded kernel-frame gradient views of the flat
+    incoming gradient (computed once per backward, shared by chunks)."""
+    from .kernels import splatter_sorted as ss
+
+    ggs = []
+    off = 0
+    for geo in geos:
+        n = geo.B * geo.gD * geo.gH * geo.gW
+        ggs.append(ss.pad_grad_grid(geo, g_feat_grid[off: off + n]))
+        off += n
+    return ggs
 
 
 def _sorted_bwd_impl(cfg: _SplatCfg, geom, g_feat_grid):
-    """Chunk-scanned sorted-splat adjoint; re-derives each chunk's plan
+    """Chunk-scanned sorted-splat adjoint; re-derives each chunk's plans
     from the geometry (the sort is deterministic, so recompute beats
     saving the large per-chunk plan tables as residuals)."""
     from .kernels import splatter_sorted as ss
 
+    geos = ss.sorted_geos(cfg)
     R = geom[0].shape[0]
-    n_chunks, chunk_r = _sorted_chunk_shape(R, cfg.tot_num_samples)
+    n_chunks, chunk_r = _sorted_chunk_shape(
+        R, cfg.tot_num_samples, n_grids=len(geos)
+    )
     Rp = n_chunks * chunk_r
     stack = lambda a: _pad_rows(a, Rp).reshape(
         (n_chunks, chunk_r) + a.shape[1:]
     )
     geom_s = tuple(stack(a) for a in geom)
-    gg = ss.pad_grad_grid(cfg, g_feat_grid)  # shared by every chunk
+    ggs = _sorted_grad_grids(cfg, geos, g_feat_grid)
 
     def body(_, geom_c):
-        plan = ss.sorted_plan(cfg, geom_c)
-        g_enc = ss.sorted_splat_bwd(cfg, plan, chunk_r, gg)
+        g_enc = None
+        for geo, gg in zip(geos, ggs):
+            plan = ss.sorted_plan(cfg, geo, geom_c)
+            t = ss.sorted_splat_bwd(cfg, geo, plan, chunk_r, gg)
+            g_enc = t if g_enc is None else g_enc + t
         return 0, g_enc * geom_c[5][:, None]
 
     if n_chunks == 1:
@@ -448,30 +485,36 @@ def _sorted_bwd_impl(cfg: _SplatCfg, geom, g_feat_grid):
 
 def _sorted_bwd_mlp_impl(cfg: _SplatCfg, geom, diff, g_feat_grid):
     """MLP-splatter adjoint on the sorted path: the per-sample gradient
-    stream from the bw kernel is the cotangent of the fused per-sample
-    vectors — one ``jax.vjp`` through the batched sample+MLP recompute
-    yields (g_encoding, g_input_grid, g_mlp_params) per chunk (reference
+    stream from the bw kernel (summed over the grid-list's sub-grids) is
+    the cotangent of the fused per-sample vectors — one ``jax.vjp``
+    through the batched sample+MLP recompute yields (g_encoding,
+    g_input_grid, g_mlp_params) per chunk (reference
     ``templates/splatter_bw.py:183-394``).  The input-grid/MLP grads
     accumulate across chunks in the scan carry."""
     from .kernels import splatter_sorted as ss
 
+    geos = ss.sorted_geos(cfg)
     encoding, input_grid_flat, mlp_params = diff
     R = geom[0].shape[0]
     n_chunks, chunk_r = _sorted_chunk_shape(
-        R, cfg.tot_num_samples, mlp=True
+        R, cfg.tot_num_samples, mlp=True, n_grids=len(geos)
     )
     Rp = n_chunks * chunk_r
     stack = lambda a: _pad_rows(a, Rp).reshape(
         (n_chunks, chunk_r) + a.shape[1:]
     )
     xs = tuple(stack(a) for a in geom) + (stack(encoding),)
-    gg = ss.pad_grad_grid(cfg, g_feat_grid)  # shared by every chunk
+    ggs = _sorted_grad_grids(cfg, geos, g_feat_grid)
 
     def body(carry, xs_c):
         g_ig, g_mlp = carry
         geom_c, enc_c = xs_c[:-1], xs_c[-1]
-        plan = ss.sorted_plan(cfg, geom_c)
-        g_s = ss.sorted_splat_bwd(cfg, plan, chunk_r, gg, per_sample=True)
+        g_s = None
+        for geo, gg in zip(geos, ggs):
+            plan = ss.sorted_plan(cfg, geo, geom_c)
+            t = ss.sorted_splat_bwd(cfg, geo, plan, chunk_r, gg,
+                                    per_sample=True)
+            g_s = t if g_s is None else g_s + t
         _, chunk_vjp = jax.vjp(
             lambda e, ig, mp: _fused_sample_chunk(cfg, geom_c, e, ig, mp),
             enc_c, input_grid_flat, mlp_params,
@@ -665,6 +708,12 @@ def _run_splatter(
         raise ValueError(
             "every output grid must have the same channel count; got "
             f"{sorted(out_chns)}"
+        )
+    batches = {int(gs[0]) for gs in output_grid_size}
+    if len(batches) != 1:
+        raise ValueError(
+            "every output grid must share one batch size (rays.grid_idx "
+            f"indexes the batch of EVERY sub-grid); got {sorted(batches)}"
         )
     out_chn = next(iter(out_chns))
     enc_chn = int(rays.encoding.shape[-1])

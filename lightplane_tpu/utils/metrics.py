@@ -5,6 +5,8 @@ Counterpart of reference ``examples/utils/util/metric.py:13-91``.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -94,6 +96,16 @@ def calc_lpips(pred, target, net: str = "vgg"):
         return float(loss_fn(to_t(pred), to_t(target)))
 
 
+@functools.lru_cache(maxsize=1)
+def _default_features_fn():
+    """The default random-conv extractor, built once: rebuilding the
+    PRNG splits + kernel tensors on every loss call wastes trace time
+    (the kernels are deterministic — fixed seed)."""
+    from .nnfm_loss import random_conv_features_fn
+
+    return random_conv_features_fn()
+
+
 def perceptual_loss(pred_hwc, target_hwc, features_fn=None,
                     blocks=(0, 1, 2)):
     """Differentiable LPIPS-structured perceptual distance, pure JAX.
@@ -113,10 +125,12 @@ def perceptual_loss(pred_hwc, target_hwc, features_fn=None,
     LPIPS-style features where torchvision is available (note that one
     is not JAX-differentiable; training needs a JAX extractor).
     """
-    from .nnfm_loss import _normalize_chn, random_conv_features_fn
+    from .nnfm_loss import _normalize_chn
 
+    if not blocks:
+        raise ValueError("perceptual_loss needs at least one block")
     if features_fn is None:
-        features_fn = random_conv_features_fn()
+        features_fn = _default_features_fn()
     a = jnp.transpose(pred_hwc, (2, 0, 1))
     b = jnp.transpose(target_hwc, (2, 0, 1))
     fa = features_fn(a, blocks)

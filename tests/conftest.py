@@ -5,6 +5,16 @@ import os
 # LT_TPU_TESTS=1 skips the CPU override so the on-chip Mosaic parity suite
 # (tests/test_tpu_parity.py) can see the real TPU backend:
 #   LT_TPU_TESTS=1 python -m pytest tests/test_tpu_parity.py -q
+# In that mode only the on-chip suite is collected — the rest of the suite
+# assumes the 8-device CPU mesh (sharding tests) and CPU numerics.
+if os.environ.get("LT_TPU_TESTS"):
+    import pathlib
+
+    _here = pathlib.Path(__file__).parent
+    collect_ignore = [
+        p.name for p in _here.glob("test_*.py")
+        if p.name != "test_tpu_parity.py"
+    ]
 if not os.environ.get("LT_TPU_TESTS"):
     os.environ["JAX_PLATFORMS"] = "cpu"  # override harness default (axon TPU)
     flags = os.environ.get("XLA_FLAGS", "")

@@ -298,6 +298,48 @@ def test_sorted_splatter_matches_scan(use_mlp):
         compare_one(a, b, f"sorted{use_mlp}/grad{i}")
 
 
+@pytest.mark.parametrize(
+    "out_size",
+    [
+        # plane orientations (reference grid_sample_util.py:1088-1186)
+        [(1, 1, 36, 44, 16)],
+        [(1, 36, 1, 44, 16)],
+        [(1, 36, 44, 1, 16)],
+        # batched voxel
+        [(3, 16, 20, 24, 16)],
+        # multi-grid list: batched triplane + a batched voxel (grid-lists
+        # share one batch size — grid_idx indexes the batch of EVERY grid)
+        [(2, 1, 36, 44, 16), (2, 36, 1, 44, 16), (2, 36, 44, 1, 16),
+         (2, 12, 12, 12, 16)],
+    ],
+    ids=["plane_xy", "plane_xz", "plane_yz", "batched", "multigrid"],
+)
+def test_sorted_splatter_shapes(out_size):
+    """Round-3 sorted-kernel shape coverage: planes (all orientations),
+    batched grids, and multi-grid lists splat fused (fw + g_encoding),
+    vs the scan oracle.  Reference splats any grid-list via atomics
+    (``templates/splatter_fw.py:71-309``)."""
+    from lightplane_tpu import lightplane_splatter
+
+    chn = 16
+    n_b = max(gs[0] for gs in out_size)
+    rays = random_rays(jax.random.PRNGKey(4), 33, n_b, encoding_dim=chn)
+
+    def run(impl, enc):
+        r = dataclasses.replace(rays, encoding=enc)
+        return lightplane_splatter(
+            r, out_size, num_samples=9, impl=impl, return_list=False)
+
+    (l_s, out_s), g_s = jax.value_and_grad(
+        lambda e: (jnp.sum(run("scan", e) ** 2), run("scan", e)),
+        has_aux=True)(rays.encoding)
+    (l_p, out_p), g_p = jax.value_and_grad(
+        lambda e: (jnp.sum(run("sorted", e) ** 2), run("sorted", e)),
+        has_aux=True)(rays.encoding)
+    compare_one(out_s, out_p, "sorted_shapes/grid")
+    compare_one(g_s, g_p, "sorted_shapes/g_enc")
+
+
 @pytest.mark.parametrize("coherent", [True, False])
 def test_big_splatter_matches_scan(coherent):
     """Big-grid (HBM boxed-DMA) splatter vs scan: coherent camera rays
@@ -445,3 +487,66 @@ def test_w3_big_voxel_matches_scan(case):
         compare_one(a, b, f"w3_{case}/{nm}")
     for nm, a, b in zip(["g_grid", "g_mlp", "g_enc"], g_s, g_p):
         compare_one(a, b, f"w3_{case}/grad_{nm}")
+
+
+@pytest.mark.parametrize("case", ["triplane", "batched", "contracted"])
+def test_w3_big_shapes_match_scan(case):
+    """Round-3 W3 shape coverage: fused rendering of big PLANES (the
+    triplane 8192-cell cliff — reference samples any grid from global
+    memory, grid_sample_util.py:1088-1186), BATCHED big voxels, and
+    CONTRACTED big voxels (unbounded scenes, shared/ray_util.py:13-45 —
+    the planner bounds the contracted sample points exactly per step)."""
+    from lightplane_tpu.ops.kernels import renderer_w3 as rw3
+    from lightplane_tpu.ops.renderer import _RenderCfg
+
+    chn = 16
+    key = jax.random.PRNGKey(9)
+    k1, k2, k3 = jax.random.split(key, 3)
+    dp = random_decoder_params(k1, input_chn=chn, hidden_chn=16,
+                               n_layers_trunk=2)
+    rays = _w3_camera_rays(dp.n_hidden_color[0], k2)
+    if case == "triplane":
+        res = 128  # 128^2 = 16384 cells/plane > MAX_CELLS_PER_GRID
+        grid = random_grid(k3, 1, chn, res, "triplane", scale=0.5)
+    elif case == "batched":
+        grid = [jax.random.normal(k3, (2, 32, 32, 32, chn)) * 0.5]
+        rays = dataclasses.replace(
+            rays, grid_idx=jnp.ones_like(rays.grid_idx))
+    else:
+        grid = [jax.random.normal(k3, (1, 32, 32, 32, chn)) * 0.5]
+    kw = dict(num_samples=16, gain=1.2,
+              contract_coords=case == "contracted")
+    sizes = tuple(tuple(int(s) for s in g.shape) for g in grid)
+    cfg = _RenderCfg(
+        num_samples=16, num_samples_inf=0, gain=1.2,
+        mask_out_of_bounds_samples=False,
+        contract_coords=case == "contracted",
+        disparity_at_inf=1e-5, inject_noise_sigma=0.0,
+        grid_sizes=sizes, color_grid_sizes=None,
+        n_hidden_trunk=dp.n_hidden_trunk,
+        n_hidden_opacity=dp.n_hidden_opacity,
+        n_hidden_color=dp.n_hidden_color,
+        use_scaffold=False, scaffold_size=None,
+        num_rays_noise=rays.directions.shape[0],
+    )
+    assert rp._w3_mode(cfg) and rp.pallas_renderer_supported(cfg)
+
+    def loss(impl, grids, mp, enc):
+        r = dataclasses.replace(rays, encoding=enc)
+        d = dataclasses.replace(dp, mlp_params=mp)
+        out = lt.lightplane_renderer(r, list(grids), d, impl=impl, **kw)
+        return sum(jnp.sum(o * (i + 1)) for i, o in enumerate(out)), out
+
+    args = (tuple(grid), dp.mlp_params, rays.encoding)
+    (l_s, out_s), g_s = jax.value_and_grad(
+        lambda *a: loss("scan", *a), argnums=(0, 1, 2), has_aux=True
+    )(*args)
+    (l_p, out_p), g_p = jax.value_and_grad(
+        lambda *a: loss("pallas", *a), argnums=(0, 1, 2), has_aux=True
+    )(*args)
+    for nm, a, b in zip(["depth", "nlt", "feat"], out_s, out_p):
+        compare_one(a, b, f"w3s_{case}/{nm}")
+    for gi, (a, b) in enumerate(zip(g_s[0], g_p[0])):
+        compare_one(a, b, f"w3s_{case}/grad_grid{gi}")
+    for nm, a, b in zip(["g_mlp", "g_enc"], g_s[1:], g_p[1:]):
+        compare_one(a, b, f"w3s_{case}/{nm}")

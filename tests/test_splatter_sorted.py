@@ -3,12 +3,14 @@
 The sorted big-grid splatter (``ops/kernels/splatter_sorted.py``) has two
 phases: a pure-XLA planning phase (bucket samples into octets, sort, pad
 to bins, build kernel tables) and a Pallas execution phase (stencil
-matmuls against slab boxes).  The Pallas phase is validated on-chip
-(``scratch/sorted_parity.py``, PARITY.md "On-chip numerics"); this test
-checks the *planning* phase end-to-end on CPU by reconstructing the splat
-in numpy exactly as the kernel consumes the tables — same windows, same
-per-bin stencils, same slab accumulation — and comparing against the
-naive oracle (reference semantics: ``naive_splatter.py:185-289``).
+matmuls against slab boxes).  The Pallas phase is validated in interpret
+mode (``tests/test_pallas_interpret.py``) and on-chip
+(``tests/test_tpu_parity.py``); this file checks the *planning* phase end
+to end on CPU by reconstructing the splat in numpy exactly as the kernel
+consumes the tables — same windows, same per-bin stencils, same slab
+accumulation — and comparing against the naive oracle (reference
+semantics: ``naive_splatter.py:185-289``).  Covers voxel grids, all three
+plane orientations, and batched grids (round-3 shape generalization).
 """
 
 import dataclasses
@@ -27,8 +29,12 @@ def _reconstruct_from_plan(geo, plan, feat_aug):
     """Numpy mimic of the fw kernel's table-driven accumulation."""
     fzT, fyT, fxT = plan["fzT"], plan["fyT"], plan["fxT"]
     table, ray_pad = plan["table"], plan["ray_pad"]
+    # ray index R is the pad-slot zero sentinel (see sorted_vals)
+    feat_aug = np.concatenate(
+        [feat_aug, np.zeros((1, feat_aug.shape[1]), feat_aug.dtype)]
+    )
     ngc = fzT.shape[0] // ss.BIN
-    WZ, WY, WX = ss.WZ, ss.WY, ss.WX
+    WZ, WY, WX = geo.WZ, geo.WY, geo.WX
     grid = np.zeros((geo.PZ, geo.PY, geo.PXp, geo.C1), np.float32)
     for g in range(ngc):
         bz, by = table[g, 0], table[g, 1]
@@ -56,12 +62,33 @@ def _reconstruct_from_plan(geo, plan, feat_aug):
     return grid
 
 
+def _crop_np(geo, grid):
+    """Numpy mirror of ``splatter_sorted.crop_acc`` on a [PZ, PY, PXp,
+    C1] reconstruction."""
+    if geo.B > 1:
+        core = grid[: geo.B * geo.zstride].reshape(
+            geo.B, geo.zstride, geo.PY, geo.PXp, geo.C1
+        )[:, : geo.Dz, : geo.Hk, : geo.Wk]
+    else:
+        core = grid[None, : geo.Dz, : geo.Hk, : geo.Wk]
+    V = geo.B * geo.gD * geo.gH * geo.gW
+    flat = core.reshape(V, geo.C1)
+    return flat[:, : geo.C], flat[:, geo.C:]
+
+
 @pytest.mark.parametrize(
     "R,gs,ns,moob,contract",
     [
         (16, (1, 48, 40, 56, 8), 33, True, False),
         (13, (1, 40, 36, 44, 4), 17, False, False),
         (16, (1, 48, 48, 48, 8), 25, True, True),
+        # plane orientations (reference grid_sample_util.py:1088-1186)
+        (16, (1, 1, 48, 56, 8), 21, False, False),
+        (16, (1, 40, 1, 56, 8), 21, True, False),
+        (16, (1, 40, 48, 1, 8), 21, False, False),
+        # batched voxel + batched plane
+        (18, (3, 24, 20, 28, 8), 15, False, False),
+        (18, (2, 1, 48, 40, 4), 15, True, False),
     ],
 )
 def test_sorted_plan_reconstruction(R, gs, ns, moob, contract):
@@ -71,6 +98,7 @@ def test_sorted_plan_reconstruction(R, gs, ns, moob, contract):
     d = targets - origins
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     enc = rng.normal(size=(R, gs[4])).astype(np.float32)
+    gidx = rng.integers(0, gs[0], size=(R,)).astype(np.int32)
 
     cfg = _SplatCfg(
         num_samples=ns, num_samples_inf=0,
@@ -81,22 +109,20 @@ def test_sorted_plan_reconstruction(R, gs, ns, moob, contract):
     valid = jnp.ones((R,), jnp.float32)
     geom = (
         jnp.asarray(d), jnp.asarray(origins), jnp.full((R,), 0.1),
-        jnp.full((R,), 3.0), jnp.zeros((R,), jnp.int32), valid,
+        jnp.full((R,), 3.0), jnp.asarray(gidx), valid,
     )
-    geo = ss.sorted_geo(cfg)
-    plan = jax.jit(lambda g: ss.sorted_plan(cfg, g))(geom)
+    (geo,) = ss.sorted_geos(cfg)
+    plan = jax.jit(lambda g: ss.sorted_plan(cfg, geo, g))(geom)
     plan = {k: np.asarray(v) for k, v in plan.items()}
 
     feat_aug = np.concatenate([enc, np.ones((R, 1), np.float32)], axis=1)
     grid = _reconstruct_from_plan(geo, plan, feat_aug)
     # padding rows (z >= D etc.) must only hold the +1 halo of border cells,
     # which the kernel's crop discards; real-cell content lives in the core
-    core = grid[: geo.D, : geo.H, : geo.W]
-    feat_np = core[..., : geo.C].reshape(-1, geo.C)
-    w_np = core[..., geo.C:].reshape(-1, 1)
+    feat_np, w_np = _crop_np(geo, grid)
 
     rays = Rays(
-        jnp.asarray(d), jnp.asarray(origins), jnp.zeros((R,), jnp.int32),
+        jnp.asarray(d), jnp.asarray(origins), jnp.asarray(gidx),
         jnp.full((R,), 0.1), jnp.full((R,), 3.0), jnp.asarray(enc),
     )
     f_ref, w_ref = jax.jit(
@@ -129,10 +155,72 @@ def test_sorted_plan_slot_inverse():
         jnp.full((R,), 3.0), jnp.zeros((R,), jnp.int32),
         jnp.ones((R,), jnp.float32),
     )
-    plan = jax.jit(lambda g: ss.sorted_plan(cfg, g))(geom)
+    (geo,) = ss.sorted_geos(cfg)
+    plan = jax.jit(lambda g: ss.sorted_plan(cfg, geo, g))(geom)
     pos = np.asarray(plan["pos_orig"])
     assert len(np.unique(pos)) == R * ns  # injective
     ray_pad = np.asarray(plan["ray_pad"])
     # the slot each sample landed in must carry that sample's ray index
     want = np.repeat(np.arange(R), ns)
     np.testing.assert_array_equal(ray_pad[pos], want)
+
+
+def test_sorted_recompute_coords_cover_windows():
+    """The per-slot coordinate recompute must agree with the sort keys
+    closely enough that every non-negligible hat weight lands inside the
+    bin's assigned window (ADVICE r2: the key-pass/recompute agreement is
+    load-bearing; pin it).
+
+    The two passes share one elementwise expression
+    (``_march_points``/``_kernel_coords``), but XLA may fuse them
+    differently, so agreement is ~1 ulp rather than bitwise; a 1-ulp
+    floor flip at an exact cell boundary can leave at most ~ulp of hat
+    weight outside the window.  The invariant checked here: per slot,
+    all hat weight above 1e-5 lies within the window."""
+    R, ns, gs = 9, 13, (1, 40, 36, 44, 4)
+    rng = np.random.default_rng(2)
+    origins = rng.normal(size=(R, 3)).astype(np.float32) / 3.0
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    cfg = _SplatCfg(
+        num_samples=ns, num_samples_inf=0,
+        mask_out_of_bounds_samples=False, contract_coords=True,
+        disparity_at_inf=1e-5, output_grid_sizes=(gs,),
+        input_grid_sizes=None, n_hidden=(),
+    )
+    geom = (
+        jnp.asarray(d), jnp.asarray(origins), jnp.full((R,), 0.1),
+        jnp.full((R,), 3.0), jnp.zeros((R,), jnp.int32),
+        jnp.ones((R,), jnp.float32),
+    )
+    (geo,) = ss.sorted_geos(cfg)
+    plan = jax.jit(lambda g: ss.sorted_plan(cfg, geo, g))(geom)
+    plan = {k: np.asarray(v) for k, v in plan.items()}
+
+    table = plan["table"]
+    ngc = plan["fzT"].shape[0] // ss.BIN
+    eps = 1e-5
+    for g in range(ngc):
+        bz, by = table[g, 0], table[g, 1]
+        sl = slice(g * ss.BIN, (g + 1) * ss.BIN)
+        for q in range(ss.GBINS):
+            starts = (
+                bz + table[g, 4 + q],
+                by + table[g, 4 + ss.GBINS + q],
+                table[g, 4 + 2 * ss.GBINS + q],
+            )
+            wins = (geo.WZ, geo.WY, geo.WX)
+            sizes = (geo.Dk, geo.Hk, geo.Wk)
+            coords = (plan["fzT"][sl, q], plan["fyT"][sl, q],
+                      plan["fxT"][sl, q])
+            for f, a0, w, S_ in zip(coords, starts, wins, sizes):
+                live = f < 1e8  # skip pad-slot sentinels
+                f = f[live]
+                # cells holding more than eps of hat weight
+                lo = np.ceil(f - 1 + eps)
+                hi = np.floor(f + 1 - eps)
+                # clip to the grid: outside cells are zeros-padding
+                lo = np.maximum(lo, 0)
+                hi = np.minimum(hi, S_ - 1)
+                ok = (hi < lo) | ((lo >= a0) & (hi < a0 + w))
+                assert ok.all(), (g, q, a0, w, f[~ok][:4])
