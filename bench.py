@@ -136,5 +136,58 @@ def main():
     print(json.dumps(result))
 
 
+# --------------------------------------------------------------------------
+# Splatter headline (``python bench.py --metric splatter``)
+#
+# Reference config ``tests/splatter_speed_benchmark.py:200-250``: 16 views
+# x 128^2 rays x 96 samples into a 160^3 x 64ch voxel grid, fwd+bwd.
+#
+# A100 anchor derivation (the reference publishes no tables): the Triton
+# splatter's per-sample cost is 8 trilinear-corner ``tl.atomic_add``s over
+# 64+1 channels (features + the C=1 weight pass) = 520 f32 atomics/sample,
+# 96 samples/ray -> ~50k atomics/ray.  Published A100 microbenchmarks put
+# sustained f32 atomic-add throughput at ~2-4 G/s to HBM-resident data and
+# ~8-12 G/s with L2 reuse; the 1.06 GB accumulator far exceeds L2 (40 MB)
+# but coherent view rays give partial reuse -> ~6-10 G atomics/s
+# -> 120k-200k rays/s.  Anchored at the midpoint 160k.
+# --------------------------------------------------------------------------
+
+SPLAT_BASELINE_RAYS_PER_SEC = 1.6e5
+SPLAT_VIEWS = 16
+SPLAT_GRID_RES = 160
+SPLAT_CHN = 64
+SPLAT_SAMPLES = 96
+
+
+def main_splatter():
+    import sys
+
+    sys.path.insert(0, ".")
+    from benchmarks.splatter_speed import bench_one
+
+    r = bench_one("auto", SPLAT_VIEWS, grid_res=SPLAT_GRID_RES,
+                  chn=SPLAT_CHN, num_samples=SPLAT_SAMPLES)
+    n_rays = SPLAT_VIEWS * 128 * 128
+    rays_per_sec = n_rays / r["fwbw"]
+    result = {
+        "metric": (
+            f"fused splat fwd+bwd {SPLAT_VIEWS}x128^2 rays, voxel "
+            f"{SPLAT_GRID_RES}^3x{SPLAT_CHN}ch, {SPLAT_SAMPLES} samples"
+        ),
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / SPLAT_BASELINE_RAYS_PER_SEC, 4),
+        "step_ms": round(r["fwbw"] * 1e3, 2),
+        "fw_ms": round(r["fw"] * 1e3, 2),
+        "peak_hbm_mb": round(r["mem_mb"], 1),
+    }
+    print(json.dumps(result))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--metric" in sys.argv and "splatter" in sys.argv:
+        main_splatter()
+    else:
+        main()

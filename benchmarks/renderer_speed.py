@@ -26,7 +26,7 @@ import lightplane_tpu as lt
 
 
 def make_inputs(key, image_size, res=32, chn=32, hidden=32, n_layers=2,
-                tile_order=False, tile=(8, 32)):
+                tile_order=False, tile=None):
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     dp = lt.init_decoder_params(
         k1, n_layers_opacity=n_layers, n_layers_trunk=n_layers,
@@ -46,6 +46,10 @@ def make_inputs(key, image_size, res=32, chn=32, hidden=32, n_layers=2,
     )
     directions = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(n)], axis=-1)
     if tile_order:
+        from lightplane_tpu.ops.rays import default_tile
+
+        if tile is None:
+            tile = default_tile(image_size, image_size)
         order, _ = lt.tile_ray_order(image_size, image_size, tile=tile)
         directions = directions[order]
     rays = lt.Rays(
@@ -86,16 +90,22 @@ def analysis_mem_mb(compiled):
 
 
 def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False,
-              tile=(8, 32)):
+              tile=None):
+    from lightplane_tpu.ops.rays import default_tile
+
+    if tile_order and tile is None:
+        tile = default_tile(image_size, image_size)
     rays, grid, dp = make_inputs(
         jax.random.PRNGKey(0), image_size, tile_order=tile_order, tile=tile
     )
+    tile_rays = tile[0] * tile[1] if (tile_order and tile) else None
 
     def fwd(grid, mp, enc):
         r = dataclasses.replace(rays, encoding=enc)
         d = dataclasses.replace(dp, mlp_params=mp)
         return lt.lightplane_renderer(
-            r, grid, d, num_samples=num_samples, gain=1.0, impl=impl
+            r, grid, d, num_samples=num_samples, gain=1.0, impl=impl,
+            tile_rays=tile_rays,
         )
 
     def loss(grid, mp, enc):
@@ -150,7 +160,7 @@ def main():
                    default=["pallas", "scan"])
     p.add_argument("--num_samples", type=int, default=256)
     p.add_argument("--tile_order", action="store_true")
-    p.add_argument("--tile", type=int, nargs=2, default=[8, 32])
+    p.add_argument("--tile", type=int, nargs=2, default=None)
     args = p.parse_args()
 
     print("STATS,impl,image_size,n_rays,t_fw_ms,t_fwbw_ms,"
@@ -158,9 +168,11 @@ def main():
     for impl in args.impls:
         for size in args.sizes:
             try:
-                r = bench_one(impl, size, args.num_samples,
-                              tile_order=args.tile_order,
-                              tile=tuple(args.tile))
+                r = bench_one(
+                    impl, size, args.num_samples,
+                    tile_order=args.tile_order,
+                    tile=tuple(args.tile) if args.tile else None,
+                )
             except Exception as e:
                 print(f"STATS,{impl},{size},{size*size},ERROR,"
                       f"{type(e).__name__},,")

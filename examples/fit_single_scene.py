@@ -74,14 +74,19 @@ def parse_args(argv=None):
     # optimization
     p.add_argument("--n_iter", type=int, default=3000)
     p.add_argument("--rays_per_batch", type=int, default=4096)
-    p.add_argument("--ray_sampling", type=str, default="span",
-                   choices=["span", "random", "image"],
+    p.add_argument("--ray_sampling", type=str, default="auto",
+                   choices=["auto", "span", "patch", "random", "image"],
                    help="'span' draws random 512-ray contiguous raster "
                         "spans, each exactly one kernel ray-block, so "
                         "batches stay spatially coherent and the TPU "
-                        "kernels keep their windowed fast path; 'random' "
-                        "draws iid pixels; 'image' renders one whole image "
-                        "per step (tile-ordered rays) — the reference fit "
+                        "kernels keep their windowed fast path; 'patch' "
+                        "draws random 8x8 pixel patches — one W3 boxed-DMA "
+                        "ray block each, which keeps beyond-VMEM grids "
+                        "(after coarse-to-fine upsampling) on the fused "
+                        "kernels; 'auto' picks span below the kernel VMEM "
+                        "grid budget and patch above it; 'random' draws "
+                        "iid pixels; 'image' renders one whole image per "
+                        "step (tile-ordered rays) — the reference fit "
                         "app's renderer_type='image' mode "
                         "(fit_single_scene.py:256-315), which enables the "
                         "perceptual image loss")
@@ -199,12 +204,48 @@ def main(argv=None):
     # batch is then a thin image band, which keeps the windowed sampling
     # fast path engaged (random pixels force the general-kernel fallback)
     SPAN = 512
+    PATCH = 8  # pixels per side; one 8x8 patch = one W3 64-ray block
     img_rays = ds.height * ds.width
     spans_per_img = img_rays // SPAN
     n_spans = max(1, args.rays_per_batch // SPAN)
+    n_patches = max(1, args.rays_per_batch // (PATCH * PATCH))
+    py_max = ds.height // PATCH
+    px_max = ds.width // PATCH
 
-    def sample_ray_idx(k_idx):
-        if args.ray_sampling == "random" or spans_per_img == 0:
+    def sampling_mode(params):
+        """'auto' keeps span batches while every sub-grid fits the VMEM
+        stencil kernels and switches to 8x8 patches once coarse-to-fine
+        upsampling crosses the budget — patch blocks are exactly the
+        boxed-DMA (W3) kernels' tile shape, so big grids stay fused."""
+        mode = args.ray_sampling
+        if mode != "auto":
+            return mode
+        from lightplane_tpu.ops.kernels.renderer_pallas import (
+            MAX_CELLS_PER_GRID,
+        )
+
+        big = any(
+            int(np.prod(g.shape[:-1])) > MAX_CELLS_PER_GRID
+            for g in params["grid"]
+        )
+        return "patch" if big else "span"
+
+    def sample_ray_idx(k_idx, mode):
+        if mode == "patch" and py_max and px_max:
+            k_img, k_py, k_px = jax.random.split(k_idx, 3)
+            img = jax.random.randint(k_img, (n_patches,), 0, ds.n_images)
+            py = jax.random.randint(k_py, (n_patches,), 0, py_max)
+            px = jax.random.randint(k_px, (n_patches,), 0, px_max)
+            r = jnp.arange(PATCH)
+            rows = (py[:, None] * PATCH + r[None, :])          # [P, 8]
+            cols = (px[:, None] * PATCH + r[None, :])          # [P, 8]
+            idx = (
+                img[:, None, None] * img_rays
+                + rows[:, :, None] * ds.width
+                + cols[:, None, :]
+            )
+            return idx.reshape(-1)
+        if mode == "random" or spans_per_img == 0:
             return jax.random.randint(
                 k_idx, (args.rays_per_batch,), 0, n_rays_total
             )
@@ -214,10 +255,15 @@ def main(argv=None):
         base = img * img_rays + sp * SPAN
         return (base[:, None] + jnp.arange(SPAN)[None, :]).reshape(-1)
 
-    def render_with(params, rays, scaffold, num_samples=None):
+    def render_with(params, rays, scaffold, num_samples=None,
+                    image_size=None):
+        # image_size engages the module's tile-reorder: rays go in (and
+        # outputs come back) in raster order; internally the module
+        # renders in adaptive pixel tiles sized to the kernels' blocks
         return renderer.apply(
             {"params": params["mlp"]}, rays, params["grid"],
             scaffold=scaffold, num_samples=num_samples,
+            image_size=image_size,
         )
 
     @functools.partial(jax.jit, static_argnames=("num_samples",))
@@ -252,9 +298,6 @@ def main(argv=None):
     # term — the reference's renderer_type="image" + LPIPS mode
     # (fit_single_scene.py:256-315).  The O(rays)-memory recompute backward
     # is what makes differentiable whole-image renders affordable.
-    img_order, img_inv = lt.tile_ray_order(ds.height, ds.width)
-    img_order = jnp.asarray(img_order)
-    img_inv = jnp.asarray(img_inv)
     features_fn = (
         random_conv_features_fn() if args.perceptual_weight > 0 else None
     )
@@ -262,7 +305,7 @@ def main(argv=None):
     @functools.partial(jax.jit, static_argnames=("num_samples",))
     def train_step_image(params, opt_state, img_i, scaffold, num_samples):
         base = img_i * img_rays
-        idx = base + img_order
+        idx = base + jnp.arange(img_rays)
 
         def loss_fn(params):
             rays = lt.Rays(
@@ -273,10 +316,11 @@ def main(argv=None):
                 far=jnp.full(idx.shape, ds.far, jnp.float32),
             )
             depth, alpha, rgb = render_with(
-                params, rays, scaffold, num_samples
+                params, rays, scaffold, num_samples,
+                image_size=(ds.height, ds.width),
             )
-            pred = rgb[img_inv].reshape(ds.height, ds.width, 3)
-            tgt = gt[base + jnp.arange(img_rays)].reshape(
+            pred = rgb.reshape(ds.height, ds.width, 3)
+            tgt = gt[idx].reshape(
                 ds.height, ds.width, 3
             )
             mse = jnp.mean((pred - tgt) ** 2)
@@ -300,23 +344,22 @@ def main(argv=None):
 
     def eval_and_checkpoint(step, params, scaffold, num_samples):
         o, d, img_gt = ds.image(0)
-        # tile-major ray order: spatially-coherent blocks enable the fused
-        # renderer's packed 2D-window fast path; outputs are scattered
-        # back to raster order with the inverse permutation
-        order, inv = lt.tile_ray_order(ds.height, ds.width)
+        # raster-order rays; the module tile-reorders internally
+        # (image_size) so the fused kernels keep their windowed fast path
         rays = lt.Rays(
-            directions=jnp.asarray(d)[order], origins=jnp.asarray(o)[order],
+            directions=jnp.asarray(d), origins=jnp.asarray(o),
             grid_idx=jnp.zeros((o.shape[0],), jnp.int32),
             near=jnp.full((o.shape[0],), ds.near, jnp.float32),
             far=jnp.full((o.shape[0],), ds.far, jnp.float32),
         )
         depth, alpha, rgb = jax.jit(
-            render_with, static_argnames=("num_samples",)
-        )(params, rays, scaffold, num_samples)
+            render_with, static_argnames=("num_samples", "image_size")
+        )(params, rays, scaffold, num_samples,
+          image_size=(ds.height, ds.width))
         rgb_img = np.clip(
-            np.asarray(rgb)[inv].reshape(ds.height, ds.width, 3), 0.0, 1.0
+            np.asarray(rgb).reshape(ds.height, ds.width, 3), 0.0, 1.0
         )
-        depth_img = np.asarray(depth)[inv].reshape(ds.height, ds.width)
+        depth_img = np.asarray(depth).reshape(ds.height, ds.width)
         psnr = float(calc_psnr(jnp.asarray(rgb_img), jnp.asarray(img_gt)))
         ssim = float(calc_ssim(jnp.asarray(rgb_img), jnp.asarray(img_gt)))
         save_image(
@@ -348,7 +391,7 @@ def main(argv=None):
                 params, opt_state, img_i, scaffold, num_samples
             )
         else:
-            idx = sample_ray_idx(k_idx)
+            idx = sample_ray_idx(k_idx, sampling_mode(params))
             params, opt_state, loss, mse = train_step(
                 params, opt_state, idx, scaffold, num_samples
             )

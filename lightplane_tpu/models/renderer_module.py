@@ -374,17 +374,22 @@ class LightplaneRenderer(nn.Module):
         )
 
         inv = None
+        tile_rays = None
         if image_size is not None and not self.use_naive_impl:
+            from lightplane_tpu.ops.rays import default_tile
+
             h, w = image_size
             n_rays = rays_p.directions.shape[0]
             assert n_rays == h * w, (
                 f"image_size {image_size} does not match the ray count "
                 f"({n_rays} != {h * w})"
             )
-            order_np, inv_np = tile_ray_order(h, w)
+            tile = default_tile(h, w)
+            order_np, inv_np = tile_ray_order(h, w, tile=tile)
             if not np.array_equal(order_np, np.arange(n_rays)):
                 inv = jnp.asarray(inv_np)
                 rays_p = rays_p[jnp.asarray(order_np)]
+                tile_rays = tile[0] * tile[1]
 
         if inject_noise_sigma > 0.0 and inject_noise_seed is None:
             inject_noise_seed = int(
@@ -413,6 +418,10 @@ class LightplaneRenderer(nn.Module):
                 color_grid=color_feature_grid,
                 grid_sizes=grid_sizes,
                 color_grid_sizes=color_grid_sizes,
+                **(
+                    {"tile_rays": tile_rays}
+                    if not self.use_naive_impl else {}
+                ),
             )
         )
 

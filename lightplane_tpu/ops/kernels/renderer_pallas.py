@@ -187,7 +187,9 @@ def _scaffold_gate_base(cfg, geom, R_pad):
         True, mode="nearest",
     )[..., 0]                                    # [R, S]
     gate = jnp.pad(gate, ((0, R_pad - R), (0, (-S) % 128)), mode="edge")
-    return gate                                  # [R_pad, S_pad128]
+    # occupancy is 0/1: int8 storage quarters the O(rays * samples)
+    # buffer; kernels re-widen per chunk (one cheap VPU convert)
+    return gate.astype(jnp.int8)                 # [R_pad, S_pad128]
 
 
 def _chunk_gates(gate_ref, ci, K, S, bw):
@@ -201,7 +203,7 @@ def _chunk_gates(gate_ref, ci, K, S, bw):
     """
     if gate_ref is None:
         return None
-    gb = gate_ref[:]
+    gb = gate_ref[:].astype(jnp.float32)
     S_pad = gb.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (S_pad, K), 0)
     ks = jax.lax.broadcasted_iota(jnp.int32, (S_pad, K), 1)
@@ -2197,7 +2199,9 @@ def _ray_block(cfg):
     cinfos = (grid_infos(cfg.color_grid_sizes)
               if cfg.color_grid_sizes is not None else ())
     if _w2_available(cfg, infos, cinfos, _pack_factor(cfg, K)):
-        return 256
+        # one block = one pixel tile; tile_rays overrides for the
+        # adaptive small-image tiles (rays.default_tile)
+        return getattr(cfg, "ray_block_rays", None) or 256
     return RAY_BLOCK
 
 

@@ -157,14 +157,33 @@ def _validate_rays(directions, origins, grid_idx, near, far, encoding):
         assert encoding.ndim == 2 and encoding.shape[0] == n_rays
 
 
-def tile_ray_order(height: int, width: int, tile=(8, 32)):
+def default_tile(height: int, width: int):
+    """Pixel-tile shape for :func:`tile_ray_order`, sized so one tile's
+    frustum footprint fits the renderer's packed 2D windows.
+
+    A fixed 8x32-pixel tile spans 1/4 of a 128-wide image — too wide a
+    frustum slice for the 8-cell plane windows, so small images
+    previously regressed to the 1D-window kernels (201k vs 702k rays/s,
+    docs/benchmark.md).  Narrower tiles keep the footprint constant in
+    *image fractions*: pass ``tile_rays=th*tw`` to the renderer so the
+    kernel blocks match one tile.
+    """
+    m = min(height, width)
+    if m >= 256:
+        return (8, 32)
+    if m >= 96:
+        return (8, 16)
+    return (8, 8)
+
+
+def tile_ray_order(height: int, width: int, tile=None):
     """Permutation putting the rays of an image in tile-major order.
 
     The fused renderer's windowed fast paths need each ray block to be
     spatially coherent; raster order makes a block span the full image
-    width.  Reordering rays into ``tile`` (rows x cols) pixel tiles (the
-    default matches the kernel's 256-ray blocks) keeps every block inside
-    a small frustum, enabling the packed 2D-window kernels.
+    width.  Reordering rays into ``tile`` (rows x cols) pixel tiles
+    (default: :func:`default_tile` for the image size) keeps every block
+    inside a small frustum, enabling the packed 2D-window kernels.
 
     Returns ``(order, inverse)`` index arrays: render with
     ``rays[order]`` and scatter outputs back with ``out[inverse]``.
@@ -172,7 +191,7 @@ def tile_ray_order(height: int, width: int, tile=(8, 32)):
     """
     import numpy as np
 
-    th, tw = tile
+    th, tw = tile if tile is not None else default_tile(height, width)
     n = height * width
     if height % th or width % tw:
         idx = np.arange(n)

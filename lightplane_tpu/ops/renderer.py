@@ -113,6 +113,10 @@ class _RenderCfg:
     # split off (``lightplane_renderer``) so the main pass keeps drawing
     # the same noise values as the unsplit oracle march.
     noise_sample_stride: Optional[int] = None
+    # Rays per W2 kernel block — set to the pixel-tile area when rays are
+    # tile-ordered with a non-default tile (``tile_ray_order``/
+    # ``default_tile``), so one block spans exactly one tile.
+    ray_block_rays: Optional[int] = None
 
     @property
     def tot_num_samples(self):
@@ -530,6 +534,7 @@ def lightplane_renderer(
     color_grid_sizes=None,
     impl: str = "auto",
     compute_dtype: str = "float32",
+    tile_rays: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused differentiable Emission-Absorption renderer.
 
@@ -578,6 +583,7 @@ def lightplane_renderer(
         ),
         num_rays_noise=R,
         compute_dtype=str(compute_dtype),
+        ray_block_rays=int(tile_rays) if tile_rays else None,
     )
 
     rays_encoding = rays.encoding

@@ -76,16 +76,34 @@ def calc_ssim(
 
 
 def calc_lpips(pred, target, net: str = "vgg"):
-    """LPIPS perceptual distance (requires the optional ``lpips`` package;
-    raises ImportError with guidance otherwise)."""
+    """LPIPS perceptual distance.
+
+    Resolution order: (1) the ``lpips`` pip package when installed (the
+    reference's exact metric, ``examples/.../metric.py``); (2) a local
+    pretrained VGG16 checkpoint pointed at by the
+    ``LIGHTPLANE_VGG_WEIGHTS`` env var, run through the differentiable
+    JAX extractor (:func:`~lightplane_tpu.utils.nnfm_loss.
+    vgg16_jax_features_fn`) with LPIPS's unit-normalize-and-average
+    structure; (3) raises ImportError with guidance.
+    """
     try:
         import lpips  # noqa: F401
         import torch
-    except ImportError as e:
+    except ImportError:
+        import os
+
+        path = os.environ.get("LIGHTPLANE_VGG_WEIGHTS")
+        if path and os.path.exists(path):
+            fn = _vgg_features_fn(path)
+            return float(perceptual_loss(
+                jnp.asarray(pred), jnp.asarray(target), features_fn=fn,
+                blocks=(0, 1, 2, 3, 4),
+            ))
         raise ImportError(
-            "LPIPS requires the `lpips` pip package (not installed in this"
-            " environment). Use calc_psnr/calc_ssim instead."
-        ) from e
+            "LPIPS requires the `lpips` pip package, or a local "
+            "pretrained VGG16 checkpoint via LIGHTPLANE_VGG_WEIGHTS "
+            "(neither available). Use calc_psnr/calc_ssim instead."
+        ) from None
     import numpy as np
 
     loss_fn = lpips.LPIPS(net=net)
@@ -96,11 +114,24 @@ def calc_lpips(pred, target, net: str = "vgg"):
         return float(loss_fn(to_t(pred), to_t(target)))
 
 
+@functools.lru_cache(maxsize=2)
+def _vgg_features_fn(path):
+    from .nnfm_loss import vgg16_jax_features_fn
+
+    return vgg16_jax_features_fn(path)
+
+
 @functools.lru_cache(maxsize=1)
 def _default_features_fn():
-    """The default random-conv extractor, built once: rebuilding the
-    PRNG splits + kernel tensors on every loss call wastes trace time
-    (the kernels are deterministic — fixed seed)."""
+    """The default feature extractor, built once: a local pretrained
+    VGG16 checkpoint (``LIGHTPLANE_VGG_WEIGHTS``) when available — true
+    LPIPS-style features — else the hermetic fixed-seed random conv
+    pyramid."""
+    import os
+
+    path = os.environ.get("LIGHTPLANE_VGG_WEIGHTS")
+    if path and os.path.exists(path):
+        return _vgg_features_fn(path)
     from .nnfm_loss import random_conv_features_fn
 
     return random_conv_features_fn()

@@ -202,10 +202,86 @@ def random_conv_features_fn(
     return features_fn
 
 
+# VGG-16 architecture: 3x3 conv output widths per block ('P' = 2x2 max
+# pool).  LPIPS taps the last relu of each block.
+_VGG16_CFG = (
+    (64, 64), (128, 128), (256, 256, 256), (512, 512, 512),
+    (512, 512, 512),
+)
+
+
+def vgg16_jax_features_fn(weights) -> Callable:
+    """Pretrained VGG-16 block features as a DIFFERENTIABLE JAX extractor
+    from locally-available weights — true pretrained-LPIPS features
+    (reference eval + image-mode loss, ``examples/fit_single_scene.py:
+    304-315``) without any package/network dependency.
+
+    ``weights``: a path to either a ``.npz`` of arrays named ``conv{i}_w``
+    / ``conv{i}_b`` (i = conv layer index 0..12, OIHW kernels), or a torch
+    checkpoint of a ``torchvision`` VGG16 ``state_dict`` (keys
+    ``features.N.weight``), or an already-loaded list of ``(w, b)`` pairs.
+    Returns ``features_fn(img_chw, blocks) -> [per-block [C, H, W] maps]``
+    (block b taps the last relu of VGG block b, the LPIPS layer choice).
+    """
+    if isinstance(weights, (list, tuple)):
+        pairs = [(jnp.asarray(w), jnp.asarray(b)) for w, b in weights]
+    elif str(weights).endswith(".npz"):
+        z = np.load(weights)
+        pairs = [
+            (jnp.asarray(z[f"conv{i}_w"]), jnp.asarray(z[f"conv{i}_b"]))
+            for i in range(13)
+        ]
+    else:
+        import torch
+
+        sd = torch.load(weights, map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        conv_keys = sorted(
+            (k for k in sd if k.endswith(".weight") and sd[k].dim() == 4),
+            key=lambda k: int(k.split(".")[1]),
+        )
+        pairs = [
+            (
+                jnp.asarray(sd[k].numpy()),
+                jnp.asarray(sd[k.replace(".weight", ".bias")].numpy()),
+            )
+            for k in conv_keys
+        ]
+    assert len(pairs) == 13, f"VGG16 has 13 conv layers, got {len(pairs)}"
+
+    def features_fn(img_chw: jnp.ndarray, blocks: Sequence[int]):
+        x = (img_chw - _IMAGENET_MEAN[:, None, None]) / _IMAGENET_STD[
+            :, None, None
+        ]
+        x = x[None]
+        feats = []
+        li = 0
+        for bi, widths in enumerate(_VGG16_CFG):
+            for _ in widths:
+                w, b = pairs[li]
+                li += 1
+                x = jax.lax.conv_general_dilated(
+                    x, w, (1, 1), "SAME",
+                    dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                ) + b[None, :, None, None]
+                x = jax.nn.relu(x)
+            if bi in blocks:
+                feats.append(x[0])
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 1, 2, 2), (1, 1, 2, 2),
+                "VALID",
+            )
+        return feats
+
+    return features_fn
+
+
 def vgg16_features_fn() -> Callable:
     """Pretrained VGG-16 block features via torchvision (exact reference
     behavior, ``nnfm_loss.py:130-151``); raises ImportError when torchvision
-    is unavailable — use :func:`random_conv_features_fn` then."""
+    is unavailable — use :func:`vgg16_jax_features_fn` with local weights,
+    or :func:`random_conv_features_fn`."""
     try:
         import torch
         import torchvision

@@ -157,7 +157,9 @@ def test_pallas_w2_packed_windows(monkeypatch):
         indexing="ij",
     )
     dirs = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(n)], -1)
-    order, _ = lt.tile_ray_order(H, W)
+    # explicit full-size tiles: one 8x32 tile = one default 256-ray block
+    # (the adaptive default_tile would pick smaller tiles at this size)
+    order, _ = lt.tile_ray_order(H, W, tile=(8, 32))
     rays = lt.Rays(
         directions=dirs[order],
         origins=jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (n, 1)),

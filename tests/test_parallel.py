@@ -89,3 +89,87 @@ def test_dp_splatter_matches_single(mesh):
     splat = data_parallel_splatter(mesh)
     out = splat(rays, sizes, num_samples=6, return_list=False)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+
+def test_dp_splatter_grad_psum(mesh):
+    """The sharded splatter's encoding gradient must equal the
+    single-device gradient: the raw (feature, weight) accumulators psum
+    BEFORE normalization, so the quotient — and its VJP through the
+    numerator only — is bitwise the single-device computation."""
+    key = jax.random.PRNGKey(3)
+    k1 = jax.random.split(key, 1)[0]
+    rays = random_rays(k1, 64, 2, encoding_dim=16)
+    sizes = [(2, 4, 4, 4, 16)]
+    splat = data_parallel_splatter(mesh)
+
+    def loss_single(enc):
+        r = dataclasses.replace(rays, encoding=enc)
+        out = lightplane_splatter(r, sizes, num_samples=6,
+                                  return_list=False)
+        return jnp.sum(out ** 2)
+
+    def loss_dp(enc):
+        r = dataclasses.replace(rays, encoding=enc)
+        return jnp.sum(
+            splat(r, sizes, num_samples=6, return_list=False) ** 2
+        )
+
+    g_ref = jax.grad(loss_single)(rays.encoding)
+    g_dp = jax.grad(loss_dp)(rays.encoding)
+    compare_one(g_ref, g_dp, "grad_enc", max_diff=1e-4, mean_diff=1e-5)
+
+
+def test_dp_mlp_splatter_grad(mesh):
+    """use_mlp=True data-parallel splatter: forward parity AND gradients
+    for the encoding (sharded), the MLP params and the input grid (both
+    replicated -> psum'd cotangents) vs single-device."""
+    from lightplane_tpu import lightplane_mlp_splatter
+    from .utils import random_splatter_params
+
+    key = jax.random.PRNGKey(4)
+    k1, k2, k3 = jax.random.split(key, 3)
+    chn = 16
+    rays = random_rays(k1, 64, 1, encoding_dim=chn)
+    sp = random_splatter_params(k2, input_chn=chn, hidden_chn=16,
+                                out_chn=chn)
+    igrid = random_grid(k3, 1, chn, 5, "voxel", scale=0.5)
+    sizes = [(1, 4, 4, 4, chn)]
+    splat = data_parallel_splatter(mesh, use_mlp=True)
+
+    def loss_single(enc, mp, ig):
+        r = dataclasses.replace(rays, encoding=enc)
+        spp = dataclasses.replace(sp, mlp_params=mp)
+        out = lightplane_mlp_splatter(
+            r, sizes, spp, [ig], num_samples=6, return_list=False)
+        return jnp.sum(out ** 2), out
+
+    def loss_dp(enc, mp, ig):
+        r = dataclasses.replace(rays, encoding=enc)
+        out = splat(r, sizes, mlp_params=sp, input_grid=[ig],
+                    num_samples=6, return_list=False)
+        # the replicated mlp flat vector enters through splat's args; to
+        # differentiate w.r.t. mp we rebuild the callable's params here
+        return jnp.sum(out ** 2), out
+
+    # fw parity
+    (_, out_ref) = loss_single(rays.encoding, sp.mlp_params, igrid[0])
+    (_, out_dp) = loss_dp(rays.encoding, sp.mlp_params, igrid[0])
+    np.testing.assert_allclose(
+        np.asarray(out_ref), np.asarray(out_dp), atol=1e-5)
+
+    # grads: differentiate through the dp path w.r.t. all three inputs
+    def loss_dp_full(enc, mp, ig):
+        r = dataclasses.replace(rays, encoding=enc)
+        spp = dataclasses.replace(sp, mlp_params=mp)
+        out = splat(r, sizes, mlp_params=spp, input_grid=[ig],
+                    num_samples=6, return_list=False)
+        return jnp.sum(out ** 2)
+
+    g_ref = jax.grad(
+        lambda *a: loss_single(*a)[0], argnums=(0, 1, 2)
+    )(rays.encoding, sp.mlp_params, igrid[0])
+    g_dp = jax.grad(loss_dp_full, argnums=(0, 1, 2))(
+        rays.encoding, sp.mlp_params, igrid[0])
+    for nm, a, b in zip(["enc", "mlp", "igrid"], g_ref, g_dp):
+        compare_one(a, b, f"mlp_splat_grad_{nm}", max_diff=1e-4,
+                    mean_diff=1e-5)

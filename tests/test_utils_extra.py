@@ -116,3 +116,69 @@ def test_profiling_helpers():
     with Memory("matmul") as m:
         z = (x @ x).block_until_ready()
     assert z is not None  # stats may be absent on some backends
+
+
+def test_vgg16_jax_features_and_lpips_path(tmp_path):
+    """The local-weights VGG16 JAX extractor: correct tap shapes, NPZ
+    round-trip, differentiability through perceptual_loss, and the
+    calc_lpips LIGHTPLANE_VGG_WEIGHTS resolution path."""
+    import os
+
+    import numpy as np
+
+    from lightplane_tpu.utils.metrics import calc_lpips, perceptual_loss
+    from lightplane_tpu.utils.nnfm_loss import (
+        _VGG16_CFG, vgg16_jax_features_fn,
+    )
+
+    rng = np.random.default_rng(0)
+    pairs = []
+    c_in = 3
+    npz = {}
+    i = 0
+    for widths in _VGG16_CFG:
+        for w in widths:
+            k = rng.normal(size=(w, c_in, 3, 3)).astype(np.float32) * 0.05
+            b = np.zeros((w,), np.float32)
+            pairs.append((k, b))
+            npz[f"conv{i}_w"] = k
+            npz[f"conv{i}_b"] = b
+            c_in = w
+            i += 1
+    fn = vgg16_jax_features_fn(pairs)
+    img = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    feats = fn(jnp.transpose(img, (2, 0, 1)), (0, 2, 4))
+    assert [f.shape for f in feats] == [
+        (64, 32, 32), (256, 8, 8), (512, 2, 2)
+    ]
+
+    # npz round-trip gives the same features
+    path = tmp_path / "vgg.npz"
+    np.savez(path, **npz)
+    fn2 = vgg16_jax_features_fn(str(path))
+    feats2 = fn2(jnp.transpose(img, (2, 0, 1)), (0, 2, 4))
+    for a, b in zip(feats, feats2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # differentiable through perceptual_loss; zero at identity
+    tgt = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    val, g = jax.value_and_grad(
+        lambda p: perceptual_loss(p, tgt, features_fn=fn,
+                                  blocks=(0, 1, 2))
+    )(img)
+    assert np.isfinite(float(val)) and float(val) > 0
+    assert np.isfinite(np.asarray(g)).all()
+    zero = perceptual_loss(tgt, tgt, features_fn=fn, blocks=(0, 1, 2))
+    assert abs(float(zero)) < 1e-6
+
+    # calc_lpips picks up the env-var checkpoint (lpips pkg absent here)
+    old = os.environ.get("LIGHTPLANE_VGG_WEIGHTS")
+    os.environ["LIGHTPLANE_VGG_WEIGHTS"] = str(path)
+    try:
+        d = calc_lpips(np.asarray(img), np.asarray(tgt))
+        assert np.isfinite(d) and d > 0
+    finally:
+        if old is None:
+            os.environ.pop("LIGHTPLANE_VGG_WEIGHTS", None)
+        else:
+            os.environ["LIGHTPLANE_VGG_WEIGHTS"] = old
