@@ -678,28 +678,44 @@ def _windowable_infos(cfg, infos, cinfos):
 # ---------------------------------------------------------------------------
 
 # A chunk of tile-ordered rays touches a tiny 2D patch of each plane: a
-# (W2_ROWS x W2_COLS) cell window.  With P = 128 // (W2_ROWS*W2_COLS)
-# samples packed per row, the stencil is [Mq, 128] instead of [M, 128] —
-# the sampling matmul, the gradient splat, and (most of) the stencil
-# build run at Mq = M/P rows, and the sampler's output/cotangent use the
-# packed MLP layout directly (no pack/unpack transitions at all).
-# Requires a tile-coherent ray order (e.g. 8x32-pixel image tiles with
-# RAY_BLOCK=256); the runtime fit check falls back to the 1D-window or
-# general kernels otherwise.
-W2_ROWS = 4
-W2_COLS = 8
+# (rows x cols) cell window.  With P = 128 // (rows*cols) samples packed
+# per row, the stencil is [Mq, 128] instead of [M, 128] — the sampling
+# matmul, the gradient splat, and (most of) the stencil build run at
+# Mq = M/P rows, and the sampler's output/cotangent use the packed MLP
+# layout directly (no pack/unpack transitions at all).  Requires a
+# tile-coherent ray order (``tile_ray_order``); the runtime fit check
+# falls back to the 1D-window or general kernels otherwise.
+#
+# Two window shapes (trace-time choice, ``_w2_shape``): 4x8 cells with
+# P=4 packing (the default — one 8x32-pixel tile per 256-ray block at
+# >=256^2 images), and 8x8 cells with P=2 for small-image tiles (their
+# frustum footprint at far depth exceeds 4 cell rows) or 64-wide MLPs
+# (P capped at 2 by the lane budget).
+_W2_DEFAULT = (4, 8, 4)
 
 
-def _w2_cells():
-    return W2_ROWS * W2_COLS
+def _w2_shape(cfg, K):
+    """(rows, cols, P) for this config, or None when packing can't fill
+    the 128 lanes."""
+    Pmax = _pack_factor(cfg, K)
+    tr = getattr(cfg, "ray_block_rays", None)
+    if Pmax >= 4 and (tr is None or tr >= 256):
+        return _W2_DEFAULT
+    if Pmax >= 2:
+        return (8, 8, 2)
+    return None
 
 
-def _w2_grid_info(info: _GridInfo):
+def _w2_cells(w2s):
+    return w2s[0] * w2s[1]
+
+
+def _w2_grid_info(info: _GridInfo, w2s):
     """(row_axis, col_axis, S_r, S_c) for a 2D-windowable grid, else
     None.  Axes are 0=x, 1=y, 2=z (grid dims W, H, D)."""
     if info.batch > 1:
         return None
-    if info.cells <= _w2_cells() * 4:
+    if info.cells <= _w2_cells(w2s) * 4:
         return None  # tiny grid: plain path is fine
     if info.D == 1 and info.H > 1 and info.W > 1:
         r_ax, c_ax, S_r, S_c = 1, 0, info.H, info.W
@@ -709,28 +725,30 @@ def _w2_grid_info(info: _GridInfo):
         r_ax, c_ax, S_r, S_c = 2, 1, info.D, info.H
     else:
         return None  # voxel: 3D windows not implemented
-    if S_r < W2_ROWS or S_c < W2_COLS:
+    if S_r < w2s[0] or S_c < w2s[1]:
         return None
     return (r_ax, c_ax, S_r, S_c)
 
 
-def _w2_available(cfg, infos, cinfos, P):
+def _w2_available(cfg, infos, cinfos, w2s):
     """W2 runs only when every sub-grid is either 2D-windowable or tiny
     (plain), packing fills the 128 lanes exactly, and coordinates are
     linear in depth."""
-    if cfg.contract_coords or P * _w2_cells() != 128:
+    if w2s is None or cfg.contract_coords:
+        return False
+    if w2s[2] * _w2_cells(w2s) != 128:
         return False
     any_w2 = False
     for info in tuple(infos) + tuple(cinfos):
-        w2i = _w2_grid_info(info)
+        w2i = _w2_grid_info(info, w2s)
         if w2i is not None:
             any_w2 = True
-        elif info.cells > _w2_cells() * 4:
+        elif info.cells > _w2_cells(w2s) * 4:
             return False  # a big non-windowable grid would stay dense
     return any_w2
 
 
-def _w2_plan(cfg, origins, dirs, near, far, K, bw, w2infos, B):
+def _w2_plan(cfg, origins, dirs, near, far, K, bw, w2infos, B, w2s):
     """Host-side 2D window starts + fit flag.
 
     ``w2infos``: [(r_ax, c_ax, S_r, S_c), ...] for the w2 grids in
@@ -743,7 +761,7 @@ def _w2_plan(cfg, origins, dirs, near, far, K, bw, w2infos, B):
     w0_cols = []
     fits = []
     for (r_ax, c_ax, S_r, S_c) in w2infos:
-        for ax, S, win in ((r_ax, S_r, W2_ROWS), (c_ax, S_c, W2_COLS)):
+        for ax, S, win in ((r_ax, S_r, w2s[0]), (c_ax, S_c, w2s[1])):
             p = origins[:, None, None, ax] + t * dirs[:, None, None, ax]
             f = ((p + 1.0) * 0.5) * S - 0.5
             f = f.reshape(n_blocks, B, n_chunks, 2)
@@ -760,10 +778,10 @@ def _w2_plan(cfg, origins, dirs, near, far, K, bw, w2infos, B):
     return w0, jnp.all(jnp.stack(fits))
 
 
-def _w2_iotas():
+def _w2_iotas(w2s):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    rx = lane % W2_COLS
-    ry = (lane // W2_COLS) % W2_ROWS
+    rx = lane % w2s[1]
+    ry = (lane // w2s[1]) % w2s[0]
     return rx, ry
 
 
@@ -775,19 +793,21 @@ class _W2Sampler:
     grids).  ``w0r``/``w0c``: window starts (SMEM scalars).  Produces
     packed [Mq, P*C] samples and consumes packed cotangents."""
 
-    def __init__(self, pc, info, w2info, coord_exps, w0r, w0c, st_mask):
+    def __init__(self, pc, info, w2info, coord_exps, w0r, w0c, st_mask,
+                 w2s):
         self.pc = pc
         self.info = info
         self.r_ax, self.c_ax, self.S_r, self.S_c = w2info
         self.coord_exps = coord_exps
         self.w0r, self.w0c = w0r, w0c
         self.st_mask = st_mask     # [Mq, 128] OOB/pad mask or None
+        self.w2s = w2s
         self._st = None
         self._gblk = None
 
     def _stencil(self):
         if self._st is None:
-            rx, ry = _w2_iotas()
+            rx, ry = _w2_iotas(self.w2s)
             fr = self.coord_exps[self.r_ax]
             fc = self.coord_exps[self.c_ax]
             fr = (fr + 1.0) * (0.5 * self.S_r) - 0.5 - self.w0r.astype(
@@ -804,12 +824,13 @@ class _W2Sampler:
         if self._gblk is None:
             pc = self.pc
             C = ref.shape[1]
+            W2R, W2C = self.w2s[0], self.w2s[1]
             rows = []
             base = self.info.offset + self.w0r * self.S_c + self.w0c
-            for ry in range(W2_ROWS):
-                rows.append(ref[pl.ds(base + ry * self.S_c, W2_COLS), :])
-            g_win = (rows[0] if W2_ROWS == 1
-                     else jnp.concatenate(rows, axis=0))   # [32, C]
+            for ry in range(W2R):
+                rows.append(ref[pl.ds(base + ry * self.S_c, W2C), :])
+            g_win = (rows[0] if W2R == 1
+                     else jnp.concatenate(rows, axis=0))   # [cells, C]
             # block-diagonal form via lane placement + sublane concat
             # (row placement is free as a concatenation)
             self._gblk = jnp.concatenate([
@@ -832,7 +853,8 @@ class _W2Sampler:
         )                                                  # [128, P*C]
         # diagonal blocks: row slices are free; one lane-unplace matmul
         # per block extracts (q, q)
-        cells = _w2_cells()
+        cells = _w2_cells(self.w2s)
+        W2R, W2C = self.w2s[0], self.w2s[1]
         diag = None
         for q in range(pc.P):
             t = jnp.dot(
@@ -840,16 +862,17 @@ class _W2Sampler:
                 pc.unplace(C, q),
                 preferred_element_type=jnp.float32,
             )
-            diag = t if diag is None else diag + t         # [32, C]
+            diag = t if diag is None else diag + t         # [cells, C]
         base = self.info.offset + self.w0r * self.S_c + self.w0c
-        for ry in range(W2_ROWS):
-            sl = pl.ds(base + ry * self.S_c, W2_COLS)
-            grad_ref[sl, :] += diag[ry * W2_COLS: (ry + 1) * W2_COLS]
+        for ry in range(W2R):
+            sl = pl.ds(base + ry * self.S_c, W2C)
+            grad_ref[sl, :] += diag[ry * W2C: (ry + 1) * W2C]
 
 
-def _w2_coord_exps(pc, pts_ks, axes, Kp, B):
-    """axis -> [Mq, 128] sample coordinate broadcast over 32-lane blocks
-    (exact broadcast-mask sums; no MXU rounding on coordinates)."""
+def _w2_coord_exps(pc, pts_ks, axes, Kp, B, cells):
+    """axis -> [Mq, 128] sample coordinate broadcast over its window's
+    lane block (exact broadcast-mask sums; no MXU rounding on
+    coordinates)."""
     out = {}
     for ax in axes:
         cols = [
@@ -861,13 +884,13 @@ def _w2_coord_exps(pc, pts_ks, axes, Kp, B):
         ]
         exp = None
         for q, cq in enumerate(cols):
-            t = cq * pc.block_row(q, _w2_cells())
+            t = cq * pc.block_row(q, cells)
             exp = t if exp is None else exp + t
         out[ax] = exp
     return out
 
 
-def _w2_st_mask(pc, mask_m, Kp, B):
+def _w2_st_mask(pc, mask_m, Kp, B, cells):
     """[Mq, 128] stencil mask: OOB sample rows zeroed (folded into the
     stencils, which covers both the sample and the splat), plus the
     lane-pad mask when P*cells < 128 (not the case for the default
@@ -883,7 +906,7 @@ def _w2_st_mask(pc, mask_m, Kp, B):
     ]
     exp = None
     for q, cq in enumerate(cols):
-        t = cq * pc.block_row(q, _w2_cells())
+        t = cq * pc.block_row(q, cells)
         exp = t if exp is None else exp + t
     return exp
 
@@ -949,14 +972,15 @@ class _W2PlainSampler:
 
 def _make_w2_samplers(cfg, pc, infos, cinfos, iotas_list, ciotas_list,
                       w2infos, main_idx, color_idx, pts_ks, gsel, mask_m,
-                      w0_ref, pid, ci, Kp, B):
+                      w0_ref, pid, ci, Kp, B, w2s):
     """Per-chunk W2 sampler lists for the main and color grid-lists."""
     axes = set()
     for (r_ax, c_ax, _, _) in w2infos:
         axes.add(r_ax)
         axes.add(c_ax)
-    coord_exps = _w2_coord_exps(pc, pts_ks, sorted(axes), Kp, B)
-    st_mask = _w2_st_mask(pc, mask_m, Kp, B)
+    cells = _w2_cells(w2s)
+    coord_exps = _w2_coord_exps(pc, pts_ks, sorted(axes), Kp, B, cells)
+    st_mask = _w2_st_mask(pc, mask_m, Kp, B, cells)
     n_w2 = len(w2infos)
 
     def build(lst, iotas_lst, idx_map):
@@ -972,14 +996,14 @@ def _make_w2_samplers(cfg, pc, infos, cinfos, iotas_list, ciotas_list,
                 w0r = w0_ref[pid % 8, ci * 2 * n_w2 + 2 * wi]
                 w0c = w0_ref[pid % 8, ci * 2 * n_w2 + 2 * wi + 1]
                 out.append(_W2Sampler(pc, info, w2infos[wi], coord_exps,
-                                      w0r, w0c, st_mask))
+                                      w0r, w0c, st_mask, w2s))
         return out
 
     return (build(infos, iotas_list, main_idx),
             build(cinfos, ciotas_list, color_idx))
 
 
-def _w2_grid_maps(cfg, infos, cinfos):
+def _w2_grid_maps(cfg, infos, cinfos, w2s):
     """(w2infos, main_idx, color_idx): per-grid slot in the w0 table
     (None for grids that use the dense plain path)."""
     w2infos = []
@@ -987,7 +1011,7 @@ def _w2_grid_maps(cfg, infos, cinfos):
     def scan(lst):
         idx = []
         for info in lst:
-            w2i = _w2_grid_info(info)
+            w2i = _w2_grid_info(info, w2s)
             if w2i is None:
                 idx.append(None)
             else:
@@ -1914,7 +1938,7 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
         main_idx, color_idx, n_wgrids = wmaps
     w2 = w2maps is not None
     if w2:
-        w2infos, w2_main_idx, w2_color_idx = w2maps
+        w2infos, w2_main_idx, w2_color_idx, w2s = w2maps
     w3 = w3maps is not None
     if w3:
         from . import renderer_w3 as rw3
@@ -1994,7 +2018,7 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
         packed_heads = (
             _pack_heads(w_o, b_o, w_c, b_c) if FW_PACK_HEADS else None
         )
-        P = _pack_factor(cfg, K)
+        P = w2s[2] if w2 else _pack_factor(cfg, K)
         if P > 1:
             pc = _PackCtx(P, K * B)
             p_layers = _prep_decoder_packed(cfg, pc, mlps, t1_folded, w2)
@@ -2034,7 +2058,7 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
                 samplers, csamplers = _make_w2_samplers(
                     cfg, pc, infos, cinfos, iotas_list, ciotas_list,
                     w2infos, w2_main_idx, w2_color_idx, pts_ks, cr.gsel,
-                    mask_m, w0_ref, pid, ci, Kp, B,
+                    mask_m, w0_ref, pid, ci, Kp, B, w2s,
                 )
             else:
                 samplers = _make_samplers(cfg, infos, iotas_list, pts_ks,
@@ -2198,7 +2222,7 @@ def _ray_block(cfg):
     infos = grid_infos(cfg.grid_sizes)
     cinfos = (grid_infos(cfg.color_grid_sizes)
               if cfg.color_grid_sizes is not None else ())
-    if _w2_available(cfg, infos, cinfos, _pack_factor(cfg, K)):
+    if _w2_available(cfg, infos, cinfos, _w2_shape(cfg, K)):
         # one block = one pixel tile; tile_rays overrides for the
         # adaptive small-image tiles (rays.default_tile)
         return getattr(cfg, "ray_block_rays", None) or 256
@@ -2437,13 +2461,15 @@ def pallas_render_fwd(cfg, geom, diff):
 
     fallback = lambda: jax.lax.cond(fits_all, call_windowed, call_general)
 
-    w2maps = _w2_grid_maps(cfg, infos, cinfos)
-    if not _w2_available(cfg, infos, cinfos, _pack_factor(cfg, K)):
+    w2s = _w2_shape(cfg, K)
+    w2maps = _w2_grid_maps(cfg, infos, cinfos, w2s) + (w2s,)
+    if not _w2_available(cfg, infos, cinfos, w2s):
         depth, nlt, feat = fallback()
         return depth[:R, 0], nlt[:R, 0], feat[:R]
 
     w0_2, fits2 = _w2_plan(
         cfg, origins_p, dirs_p, near_p, far_p, K, False, w2maps[0], RB,
+        w2s,
     )
     depth, nlt, feat = jax.lax.cond(
         fits2, lambda: call_with_table(w0_2, w2maps=w2maps), fallback
@@ -2466,7 +2492,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
         main_idx, color_idx, n_wgrids = wmaps
     w2 = w2maps is not None
     if w2:
-        w2infos, w2_main_idx, w2_color_idx = w2maps
+        w2infos, w2_main_idx, w2_color_idx, w2s = w2maps
     w3 = w3maps is not None
     if w3:
         from . import renderer_w3 as rw3
@@ -2474,7 +2500,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
         w3_main_geos, w3_color_geos = w3maps
         w3geos = list(w3_main_geos) + list(w3_color_geos)
     K_bw = _march_chunk(cfg, bw=True, windowed=windowed or w2)
-    P_bw = _pack_factor(cfg, K_bw)
+    P_bw = w2s[2] if w2 else _pack_factor(cfg, K_bw)
     n_scr = 2 * (n_t + n_o + n_c) if P_bw > 1 else 0
 
     def kernel(*refs):
@@ -2648,7 +2674,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
                 samplers, csamplers = _make_w2_samplers(
                     cfg, pc, infos, cinfos, iotas_list, ciotas_list,
                     w2infos, w2_main_idx, w2_color_idx, pts_ks, cr.gsel,
-                    mask_m, w0_ref, pid, ci, Kp, B,
+                    mask_m, w0_ref, pid, ci, Kp, B, w2s,
                 )
             else:
                 samplers = _make_samplers(cfg, infos, iotas_list, pts_ks,
@@ -2961,9 +2987,10 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
 
 def _bw_scratch_shapes(cfg, n_mlp, windowed, w2=False):
     """VMEM scratch accumulators for the packed bw path (empty if the
-    unpacked path runs)."""
+    unpacked path runs).  Must mirror the kernel's P choice exactly
+    (W2 mode pins P to its window shape)."""
     K = _march_chunk(cfg, bw=True, windowed=windowed or w2)
-    P = _pack_factor(cfg, K)
+    P = _w2_shape(cfg, K)[2] if w2 else _pack_factor(cfg, K)
     if P <= 1:
         return []
     shapes = []
@@ -3243,11 +3270,12 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         def fallback():
             return jax.lax.cond(fits_all, call_windowed, call_general)
 
-        w2maps = _w2_grid_maps(cfg, infos, cinfos)
-        if _w2_available(cfg, infos, cinfos, _pack_factor(cfg, K)):
+        w2s = _w2_shape(cfg, K)
+        w2maps = _w2_grid_maps(cfg, infos, cinfos, w2s) + (w2s,)
+        if _w2_available(cfg, infos, cinfos, w2s):
             w0_2, fits2 = _w2_plan(
                 cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], K,
-                True, w2maps[0], RB,
+                True, w2maps[0], RB, w2s,
             )
             outs = jax.lax.cond(
                 fits2,

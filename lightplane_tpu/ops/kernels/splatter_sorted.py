@@ -297,7 +297,7 @@ def _kernel_coords(geo: _SortedGeo, pts, gidx):
     return fz, fy, fx
 
 
-def sorted_plan(cfg, geo: _SortedGeo, geom):
+def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True):
     """Phase A: sort samples into octet bins; build all kernel-side tables.
 
     Performance shape (measured on v5e at the 160^3x64 bench chunking,
@@ -347,15 +347,30 @@ def sorted_plan(cfg, geo: _SortedGeo, geom):
            + (lz * ly_n + ly) * lx_n + lx)
 
     # dead samples -> trailing bucket (sorted past every live key, binned
-    # never)
+    # never).  Besides invalid rays and (when masked) OOB samples, any
+    # sample whose trilinear stencil is identically zero — outside the
+    # (-1, S) live window on some kernel axis — contributes nothing and
+    # is dropped here: marches typically overshoot the volume on both
+    # ends (the reference bench marches [0.5, 3.5] through a 2-unit
+    # cube), so this empties a large fraction of the bins, which the
+    # kernels then skip per group.
     dead = ~(valid_mask[:, None] > 0)
     if cfg.mask_out_of_bounds_samples:
         inb = jnp.all(jnp.abs(pts) <= 1.0, axis=-1)
         dead = dead | ~inb
+    live = (
+        (fz > -1.0) & (fz < geo.Dk)
+        & (fy > -1.0) & (fy < geo.Hk)
+        & (fx > -1.0) & (fx < geo.Wk)
+    )
+    dead = dead | ~live
     key = jnp.where(dead, geo.n_keys, key).reshape(N)
 
     idx = jnp.arange(N, dtype=jnp.int32)
-    key_s, idx_s = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+    # stability is not required: bins are order-independent and every
+    # consumer reads the one shared sorted stream (unstable sorts are
+    # still deterministic for fixed inputs)
+    key_s, idx_s = jax.lax.sort((key, idx), num_keys=1, is_stable=False)
 
     # per-octet sample counts from the sorted keys (binary searches; no
     # scatters).  The n_keys bucket (dead) is excluded by construction.
@@ -378,13 +393,21 @@ def sorted_plan(cfg, geo: _SortedGeo, geom):
     ).reshape(geo.n_keys).astype(jnp.int32)
 
     # padded slot of each sorted sample (for the bw un-sort); dead samples
-    # point past the stream at the bw zero row
-    rank = idx - jnp.take(bounds, jnp.minimum(key_s, geo.n_keys))
-    pos = (jnp.take(octet_bin_start, jnp.minimum(key_s, geo.n_keys - 1))
-           + rank // BIN) * BIN + rank % BIN
-    pos = jnp.where(key_s == geo.n_keys, Npad, pos)
-    # orig-sample -> slot: invert the sort with a second sort
-    _, pos_orig = jax.lax.sort((idx_s, pos), num_keys=1, is_stable=True)
+    # point past the stream at the bw zero row.  Only the backward needs
+    # this inverse map — its second full sort is skipped in fw-only plans
+    # (want_pos=False).
+    pos_orig = None
+    if want_pos:
+        rank = idx - jnp.take(bounds, jnp.minimum(key_s, geo.n_keys))
+        pos = (
+            jnp.take(octet_bin_start, jnp.minimum(key_s, geo.n_keys - 1))
+            + rank // BIN
+        ) * BIN + rank % BIN
+        pos = jnp.where(key_s == geo.n_keys, Npad, pos)
+        # orig-sample -> slot: invert the sort with a second sort
+        _, pos_orig = jax.lax.sort(
+            (idx_s, pos), num_keys=1, is_stable=False
+        )
 
     # slot -> source sample (gather construction of the padded streams)
     b = jnp.arange(n_bins_pad, dtype=jnp.int32)
@@ -464,10 +487,11 @@ def sorted_plan(cfg, geo: _SortedGeo, geom):
     cols = [
         s_z * geo.SUPZ, s_y * geo.SUPY,
         first.astype(jnp.int32), last.astype(jnp.int32),
+        in_use.astype(jnp.int32),
     ]
     table = jnp.concatenate(
         [jnp.stack(cols, axis=1), dz, dy, dx], axis=1
-    ).astype(jnp.int32)                                        # [ngc, 4+96]
+    ).astype(jnp.int32)                                        # [ngc, 5+96]
     ngc8 = -(-n_groups_cap // 8) * 8
     table = jnp.pad(
         table, ((0, ngc8 - n_groups_cap), (0, 128 - table.shape[1]))
@@ -525,26 +549,32 @@ def _build_fw_kernel(geo: _SortedGeo):
             cp.start()
             cp.wait()
 
-        iot = _win_iotas(geo)
-        for q in range(GBINS):
-            fz = fzT_ref[:, q:q + 1]
-            fy = fyT_ref[:, q:q + 1]
-            fx = fxT_ref[:, q:q + 1]
-            dz = tab_ref[r, 4 + q]
-            dy = tab_ref[r, 4 + GBINS + q]
-            dx = tab_ref[r, 4 + 2 * GBINS + q]
-            st = _stencil_bin(geo, fz, fy, fx, bz + dz, by + dy, dx, iot)
-            # vals arrive pre-padded to CPAD lanes (zero beyond C1): the
-            # matmul output drops straight into the scratch window with no
-            # per-bin lane pad/relayout.
-            upd = jax.lax.dot_general(
-                st, vals_ref[q * BIN:(q + 1) * BIN, :],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                          # [wcells, CPAD]
-            scratch[pl.ds(dz, WZ), pl.ds(dy, WY), pl.ds(dx, WX), :] += (
-                upd.reshape(WZ, WY, WX, CPAD)
-            )
+        # whole-group skip: slab-padding and beyond-capacity groups (the
+        # trailing majority once zero-stencil samples are dropped) pay
+        # only this scalar branch
+        @pl.when(tab_ref[r, 4] == 1)
+        def _():
+            iot = _win_iotas(geo)
+            for q in range(GBINS):
+                fz = fzT_ref[:, q:q + 1]
+                fy = fyT_ref[:, q:q + 1]
+                fx = fxT_ref[:, q:q + 1]
+                dz = tab_ref[r, 5 + q]
+                dy = tab_ref[r, 5 + GBINS + q]
+                dx = tab_ref[r, 5 + 2 * GBINS + q]
+                st = _stencil_bin(geo, fz, fy, fx, bz + dz, by + dy, dx,
+                                  iot)
+                # vals arrive pre-padded to CPAD lanes (zero beyond C1):
+                # the matmul output drops straight into the scratch window
+                # with no per-bin lane pad/relayout.
+                upd = jax.lax.dot_general(
+                    st, vals_ref[q * BIN:(q + 1) * BIN, :],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                      # [wcells, CPAD]
+                scratch[
+                    pl.ds(dz, WZ), pl.ds(dy, WY), pl.ds(dx, WX), :
+                ] += upd.reshape(WZ, WY, WX, CPAD)
 
         @pl.when(tab_ref[r, 3] == 1)
         def _():
@@ -583,23 +613,29 @@ def _build_bw_kernel(geo: _SortedGeo):
             cp.start()
             cp.wait()
 
-        iot = _win_iotas(geo)
-        for q in range(GBINS):
-            fz = fzT_ref[:, q:q + 1]
-            fy = fyT_ref[:, q:q + 1]
-            fx = fxT_ref[:, q:q + 1]
-            dz = tab_ref[r, 4 + q]
-            dy = tab_ref[r, 4 + GBINS + q]
-            dx = tab_ref[r, 4 + 2 * GBINS + q]
-            st = _stencil_bin(geo, fz, fy, fx, bz + dz, by + dy, dx, iot)
-            win = scratch[
-                pl.ds(dz, WZ), pl.ds(dy, WY), pl.ds(dx, WX), :
-            ].reshape(geo.wcells, CPAD)
-            # keep all CPAD lanes (zeros beyond C): full-lane rows unsort
-            # ~3x faster than C-lane rows, and the lane slice is free after
-            # the per-ray step sum.
-            gq = jnp.dot(st, win, preferred_element_type=jnp.float32)
-            out_ref[q * BIN:(q + 1) * BIN, :] = gq
+        # skipped groups' rows are never gathered (live samples only
+        # map into used groups; dead samples map to the appended zero
+        # row), so their output block may stay unwritten
+        @pl.when(tab_ref[r, 4] == 1)
+        def _():
+            iot = _win_iotas(geo)
+            for q in range(GBINS):
+                fz = fzT_ref[:, q:q + 1]
+                fy = fyT_ref[:, q:q + 1]
+                fx = fxT_ref[:, q:q + 1]
+                dz = tab_ref[r, 5 + q]
+                dy = tab_ref[r, 5 + GBINS + q]
+                dx = tab_ref[r, 5 + 2 * GBINS + q]
+                st = _stencil_bin(geo, fz, fy, fx, bz + dz, by + dy, dx,
+                                  iot)
+                win = scratch[
+                    pl.ds(dz, WZ), pl.ds(dy, WY), pl.ds(dx, WX), :
+                ].reshape(geo.wcells, CPAD)
+                # keep all CPAD lanes (zeros beyond C): full-lane rows
+                # unsort ~3x faster than C-lane rows, and the lane slice
+                # is free after the per-ray step sum.
+                gq = jnp.dot(st, win, preferred_element_type=jnp.float32)
+                out_ref[q * BIN:(q + 1) * BIN, :] = gq
 
     return kernel
 

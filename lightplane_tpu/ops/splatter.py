@@ -414,7 +414,7 @@ def _sorted_fwd_impl(cfg: _SplatCfg, geom, diff):
         )
         out = []
         for geo, acc in zip(geos, accs):
-            plan = ss.sorted_plan(cfg, geo, geom_c)
+            plan = ss.sorted_plan(cfg, geo, geom_c, want_pos=False)
             if with_mlp:
                 vals = ss.sorted_vals_sample(geo, plan, fused, geom_c[5])
             else:

@@ -68,12 +68,8 @@ vals = vals_f(plan, enc_c, geom_c[5])
 t_vals = timeit("vals gather (1 chunk)", vals_f, plan, enc_c, geom_c[5])
 
 acc0 = jnp.zeros((geo.PZ, geo.PY, geo.PXp, ss.CPAD), jnp.float32)
-kern_f = jax.jit(
-    lambda p, v, a: ss.sorted_splat_acc(cfg, geo, p, v, a),
-    donate_argnums=(2,),
-)
+kern_f = jax.jit(lambda p, v, a: ss.sorted_splat_acc(cfg, geo, p, v, a))
 acc = kern_f(plan, vals, acc0)
-acc0 = jnp.zeros((geo.PZ, geo.PY, geo.PXp, ss.CPAD), jnp.float32)
 t_kern = timeit("splat kernel (1 chunk)", kern_f, plan, vals, acc0)
 
 gg = jnp.zeros((geo.PZ, geo.PY, geo.PXp, ss.CPAD), jnp.float32)

@@ -552,3 +552,84 @@ def test_w3_big_shapes_match_scan(case):
         compare_one(a, b, f"w3s_{case}/grad_grid{gi}")
     for nm, a, b in zip(["g_mlp", "g_enc"], g_s[1:], g_p[1:]):
         compare_one(a, b, f"w3s_{case}/{nm}")
+
+
+def test_pallas_w2_small_tile_shape(monkeypatch):
+    """The 8x8-cell / P=2 packed-window shape (small-image tiles,
+    tile_rays<=128): parity vs scan AND the runtime fit must select it
+    (small tiles' frustum footprint exceeds the default 4-cell rows)."""
+    H, W = 16, 32
+    n = H * W
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    dp = lt.init_decoder_params(
+        k1, n_layers_opacity=2, n_layers_trunk=2, n_layers_color=2,
+        input_chn=32, hidden_chn=32, color_chn=3, opacity_init_bias=-2.0)
+    grid = [
+        jax.random.normal(k2, (1, 1, 32, 32, 32)) * 0.1,
+        jax.random.normal(k3, (1, 32, 1, 32, 32)) * 0.1,
+        jax.random.normal(k4, (1, 32, 32, 1, 32)) * 0.1,
+    ]
+    ys, xs = jnp.meshgrid(
+        jnp.linspace(-0.125, 0.125, H), jnp.linspace(-0.25, 0.25, W),
+        indexing="ij",
+    )
+    dirs = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(n)], -1)
+    order, _ = lt.tile_ray_order(H, W, tile=(8, 8))
+    rays = lt.Rays(
+        directions=dirs[order],
+        origins=jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (n, 1)),
+        grid_idx=jnp.zeros((n,), jnp.int32),
+        near=jnp.full((n,), 1.2),
+        far=jnp.full((n,), 2.8),
+        encoding=jax.random.normal(k5, (n, 32)) * 0.1,
+    )
+    # the shape choice must be (8, 8, 2) at tile_rays=64
+    from lightplane_tpu.ops.renderer import _RenderCfg
+
+    cfg = _RenderCfg(
+        num_samples=64, num_samples_inf=0, gain=1.0,
+        mask_out_of_bounds_samples=True, contract_coords=False,
+        disparity_at_inf=1e-5, inject_noise_sigma=0.0,
+        grid_sizes=tuple(tuple(int(x) for x in g.shape) for g in grid),
+        color_grid_sizes=None,
+        n_hidden_trunk=dp.n_hidden_trunk,
+        n_hidden_opacity=dp.n_hidden_opacity,
+        n_hidden_color=dp.n_hidden_color,
+        use_scaffold=False, scaffold_size=None, num_rays_noise=n,
+        ray_block_rays=64,
+    )
+    assert rp._w2_shape(cfg, rp._march_chunk(cfg)) == (8, 8, 2)
+    assert rp._ray_block(cfg) == 64
+
+    fits_seen = {}
+    orig_plan = rp._w2_plan
+
+    def spy(*a, **kw):
+        w0, fits = orig_plan(*a, **kw)
+        fits_seen["fits"] = fits
+        return w0, fits
+
+    monkeypatch.setattr(rp, "_w2_plan", spy)
+
+    def loss(impl, g0, mp, enc):
+        r = dataclasses.replace(rays, encoding=enc)
+        d = dataclasses.replace(dp, mlp_params=mp)
+        out = lt.lightplane_renderer(
+            r, [g0] + list(grid[1:]), d, num_samples=64, gain=1.0,
+            impl=impl, mask_out_of_bounds_samples=True, tile_rays=64,
+        )
+        return sum(jnp.sum(o * (i + 1)) for i, o in enumerate(out)), out
+
+    args = (grid[0], dp.mlp_params, rays.encoding)
+    (_, out_s), g_s = jax.value_and_grad(
+        lambda *a: loss("scan", *a), argnums=(0, 1, 2), has_aux=True
+    )(*args)
+    (_, out_p), g_p = jax.value_and_grad(
+        lambda *a: loss("pallas", *a), argnums=(0, 1, 2), has_aux=True
+    )(*args)
+    assert bool(fits_seen["fits"]), "small-tile W2 windows did not fit"
+    for nm, a, b in zip(["depth", "nlt", "feat"], out_s, out_p):
+        compare_one(a, b, f"w2s/{nm}")
+    for nm, a, b in zip(["g_grid", "g_mlp", "g_enc"], g_s, g_p):
+        compare_one(a, b, f"w2s/grad_{nm}")

@@ -37,11 +37,13 @@ def _reconstruct_from_plan(geo, plan, feat_aug):
     WZ, WY, WX = geo.WZ, geo.WY, geo.WX
     grid = np.zeros((geo.PZ, geo.PY, geo.PXp, geo.C1), np.float32)
     for g in range(ngc):
+        if table[g, 4] != 1:
+            continue  # the kernels skip unused groups too
         bz, by = table[g, 0], table[g, 1]
         for q in range(ss.GBINS):
-            dz = table[g, 4 + q]
-            dy = table[g, 4 + ss.GBINS + q]
-            dx = table[g, 4 + 2 * ss.GBINS + q]
+            dz = table[g, 5 + q]
+            dy = table[g, 5 + ss.GBINS + q]
+            dx = table[g, 5 + 2 * ss.GBINS + q]
             sl = slice(g * ss.BIN, (g + 1) * ss.BIN)
             fz, fy, fx = fzT[sl, q], fyT[sl, q], fxT[sl, q]
             rays_q = ray_pad[
@@ -158,11 +160,26 @@ def test_sorted_plan_slot_inverse():
     (geo,) = ss.sorted_geos(cfg)
     plan = jax.jit(lambda g: ss.sorted_plan(cfg, geo, g))(geom)
     pos = np.asarray(plan["pos_orig"])
-    assert len(np.unique(pos)) == R * ns  # injective
+    Npad = plan["ray_pad"].shape[0]
+    live = pos < Npad  # zero-stencil (out-of-volume) samples map to Npad
+    assert live.sum() > 0
+    assert len(np.unique(pos[live])) == live.sum()  # injective on live
     ray_pad = np.asarray(plan["ray_pad"])
-    # the slot each sample landed in must carry that sample's ray index
+    # the slot each live sample landed in must carry that sample's ray
     want = np.repeat(np.arange(R), ns)
-    np.testing.assert_array_equal(ray_pad[pos], want)
+    np.testing.assert_array_equal(ray_pad[pos[live]], want[live])
+    # dropped samples must indeed be outside the grid's live window
+    step = jnp.broadcast_to(jnp.arange(ns, dtype=jnp.int32)[None], (R, ns))
+    pts = ss._march_points(
+        cfg, geom[1][:, None, :], geom[0][:, None, :],
+        geom[2][:, None], geom[3][:, None], step,
+    )
+    fz, fy, fx = ss._kernel_coords(geo, pts, geom[4][:, None])
+    inside = np.asarray(
+        (fz > -1) & (fz < geo.Dk) & (fy > -1) & (fy < geo.Hk)
+        & (fx > -1) & (fx < geo.Wk)
+    ).reshape(-1)
+    np.testing.assert_array_equal(live, inside)
 
 
 def test_sorted_recompute_coords_cover_windows():
@@ -201,13 +218,15 @@ def test_sorted_recompute_coords_cover_windows():
     ngc = plan["fzT"].shape[0] // ss.BIN
     eps = 1e-5
     for g in range(ngc):
+        if table[g, 4] != 1:
+            continue
         bz, by = table[g, 0], table[g, 1]
         sl = slice(g * ss.BIN, (g + 1) * ss.BIN)
         for q in range(ss.GBINS):
             starts = (
-                bz + table[g, 4 + q],
-                by + table[g, 4 + ss.GBINS + q],
-                table[g, 4 + 2 * ss.GBINS + q],
+                bz + table[g, 5 + q],
+                by + table[g, 5 + ss.GBINS + q],
+                table[g, 5 + 2 * ss.GBINS + q],
             )
             wins = (geo.WZ, geo.WY, geo.WX)
             sizes = (geo.Dk, geo.Hk, geo.Wk)
