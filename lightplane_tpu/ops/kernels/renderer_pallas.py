@@ -213,6 +213,25 @@ def _chunk_gates(gate_ref, ci, K, S, bw):
     return [cols[:, k: k + 1] for k in range(K)]
 
 
+def _scaffold_chunk_skip(gates, w3, carry, chunk_fn):
+    """Whole-chunk scaffold skip (reference ``renderer_fw.py:234-252``
+    block-skip semantics, recovered as a chunk-level branch).
+
+    A chunk whose gate columns are all zero contributes EXACTLY nothing:
+    every nlt / depth / feature update — and, in the backward, every
+    suffix / grid-splat / MLP-grad update — carries a gate factor (or a
+    ``w`` weight that the zero gates collapse), so branching over the
+    samplers + decoder is an identity, not an approximation.  The gate
+    select itself (one tiny one-hot matmul) stays outside the branch.
+    W3 chunks run unconditionally: their samplers issue async DMAs whose
+    issue/wait pairing must not sit under divergent control flow.
+    """
+    if gates is None or w3:
+        return chunk_fn(carry)
+    occ = sum(jnp.sum(g) for g in gates) > 0.0
+    return jax.lax.cond(occ, chunk_fn, lambda c: c, carry)
+
+
 # ---------------------------------------------------------------------------
 # In-kernel helpers (plain jax on VMEM values)
 # ---------------------------------------------------------------------------
@@ -2039,7 +2058,7 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
                 for wi in idx_map
             ]
 
-        def body(ci, carry):
+        def chunk_work(ci, gates, carry):
             nlt, depth_acc, feat_acc = carry
             t_cols, dv_cols, pts_ks, mask_m, noise_i1 = _chunk_geom(
                 cfg, cr, ci,
@@ -2072,7 +2091,6 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
                                    else None)
                     if has_cgrid else None
                 )
-            gates = _chunk_gates(gate_ref, ci, K, S, bw=False)
             if P > 1:
                 sigma_cols, color_pack, _, _, _ = _chunk_decoder_packed(
                     cfg, pc, grid_ref, cgrid_ref, samplers, csamplers,
@@ -2149,6 +2167,12 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
                 feat_acc = feat_acc + w * col_k
                 nlt = nlt_new
             return (nlt, depth_acc, feat_acc)
+
+        def body(ci, carry):
+            gates = _chunk_gates(gate_ref, ci, K, S, bw=False)
+            return _scaffold_chunk_skip(
+                gates, w3, carry, lambda c: chunk_work(ci, gates, c)
+            )
 
         init = (
             jnp.zeros((B, 1), jnp.float32),
@@ -2647,7 +2671,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
                 for wi in idx_map
             ]
 
-        def body(ci, carry):
+        def chunk_work(ci, gates, carry):
             (nlt_run, suffix, genc_acc) = carry
             # chunk covers s = S-1-ci*K - k, k = 0..K-1 (descending s)
             s_hi = S - 1 - ci * K
@@ -2688,7 +2712,6 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
                                    else None)
                     if has_cgrid else None
                 )
-            gates = _chunk_gates(gate_ref, ci, K, S, bw=True)
             if P > 1:
                 sigma_cols, color_pack, res, feat, cfeat = (
                     _chunk_decoder_packed(
@@ -2955,6 +2978,12 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
                 ref[...] += g.reshape(ref.shape)
 
             return (nlt_run, suffix, genc_acc)
+
+        def body(ci, carry):
+            gates = _chunk_gates(gate_ref, ci, K, S, bw=True)
+            return _scaffold_chunk_skip(
+                gates, w3, carry, lambda c: chunk_work(ci, gates, c)
+            )
 
         init = (
             nltf_ref[:],

@@ -342,6 +342,60 @@ def test_sorted_splatter_shapes(out_size):
     compare_one(g_s, g_p, "sorted_shapes/g_enc")
 
 
+@pytest.mark.parametrize("use_mlp", [False, True])
+@pytest.mark.parametrize("save_plans", [True, False])
+def test_sorted_splatter_chunked_plans(monkeypatch, save_plans, use_mlp):
+    """Multi-chunk sorted path, with the fw sort plans saved as custom-VJP
+    residuals (round 3: the backward then skips its per-chunk plan
+    recompute — the dominant cost of the pass) and with the over-budget
+    recompute fallback; both must match the scan oracle's gradients.
+    ``_SORTED_CHUNK_SAMPLES`` is shrunk so the test config splits into
+    3 ray chunks, exercising the scanned plan ys / plan xs threading."""
+    from lightplane_tpu import (
+        init_splatter_params, lightplane_mlp_splatter, lightplane_splatter,
+    )
+    from lightplane_tpu.ops import splatter as sp
+
+    monkeypatch.setattr(sp, "_SORTED_CHUNK_SAMPLES", 128)
+    if not save_plans:
+        monkeypatch.setattr(sp, "_PLAN_RESID_BUDGET", 0)
+    chn = 16
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    rays = random_rays(k1, 37, 1, encoding_dim=chn)
+    out_size = [(1, 20, 18, 24, chn)]
+    if use_mlp:
+        spp0 = init_splatter_params(k2, n_layers=2, input_chn=chn,
+                                    hidden_chn=16, out_chn=chn)
+        igrid = random_grid(k3, 1, chn, 6, "voxel", scale=0.5)
+
+        def run(impl, enc, mp, ig):
+            r = dataclasses.replace(rays, encoding=enc)
+            s = dataclasses.replace(spp0, mlp_params=mp)
+            return lightplane_mlp_splatter(
+                r, out_size, s, [ig], num_samples=9, impl=impl,
+                return_list=False)
+
+        args = (rays.encoding, spp0.mlp_params, igrid[0])
+    else:
+        def run(impl, enc):
+            r = dataclasses.replace(rays, encoding=enc)
+            return lightplane_splatter(
+                r, out_size, num_samples=9, impl=impl, return_list=False)
+
+        args = (rays.encoding,)
+
+    n_args = len(args)
+    (_, out_s), g_s = jax.value_and_grad(
+        lambda *a: (jnp.sum(run("scan", *a) ** 2), run("scan", *a)),
+        argnums=tuple(range(n_args)), has_aux=True)(*args)
+    (_, out_p), g_p = jax.value_and_grad(
+        lambda *a: (jnp.sum(run("sorted", *a) ** 2), run("sorted", *a)),
+        argnums=tuple(range(n_args)), has_aux=True)(*args)
+    compare_one(out_s, out_p, f"chunked{save_plans}{use_mlp}/grid")
+    for i, (a, b) in enumerate(zip(g_s, g_p)):
+        compare_one(a, b, f"chunked{save_plans}{use_mlp}/grad{i}")
+
+
 @pytest.mark.parametrize("coherent", [True, False])
 def test_big_splatter_matches_scan(coherent):
     """Big-grid (HBM boxed-DMA) splatter vs scan: coherent camera rays
@@ -387,9 +441,15 @@ def test_big_splatter_matches_scan(coherent):
     compare_one(g_s, g_p, f"big{coherent}/g_enc")
 
 
-def test_pallas_scaffold_matches_scan():
+@pytest.mark.parametrize("mode", ["random", "empty", "halfz"])
+def test_pallas_scaffold_matches_scan(mode):
     """Scaffolded rendering through the Pallas kernels (per-(ray, step)
-    occupancy gates precomputed outside; fw + grads vs scan)."""
+    occupancy gates precomputed outside; fw + grads vs scan).
+
+    ``empty`` and ``halfz`` force whole march chunks to be fully gated,
+    pinning the whole-chunk skip branch (``_scaffold_chunk_skip``): the
+    skipped chunks' carries must pass through bit-exactly for parity
+    with the scan to hold."""
     n_rays = 40
     key = jax.random.PRNGKey(2)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -400,6 +460,10 @@ def test_pallas_scaffold_matches_scan():
     scaffold = (
         jax.random.uniform(k4, (1, 6, 6, 6)) > 0.4
     ).astype(jnp.float32)
+    if mode == "empty":
+        scaffold = jnp.zeros_like(scaffold)
+    elif mode == "halfz":
+        scaffold = scaffold.at[:, 3:].set(0.0)
 
     def loss(impl, g0, mp):
         d = dataclasses.replace(dp, mlp_params=mp)
