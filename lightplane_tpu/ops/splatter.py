@@ -380,12 +380,56 @@ def _fused_sample_chunk(cfg: _SplatCfg, geom_c, encoding, input_grid_flat,
     return x * jnp.broadcast_to(valid[:, None], (R, S)).reshape(R * S, 1)
 
 
-def _sorted_fwd_impl(cfg: _SplatCfg, geom, diff):
+# plan keys the backward consumes (``sorted_splat_bwd``): the bin coord
+# streams + group table for the gather kernel, and the un-sort map
+_PLAN_RESID_KEYS = ("fzT", "fyT", "fxT", "table", "pos_orig")
+
+# HBM budget for saving the fw sort plans as custom-VJP residuals.  The
+# plan (one full ``lax.sort`` + table build per chunk x sub-grid) is the
+# dominant cost of both passes at the reference splatter bench config
+# (~45% of fwbw, measured v5e); saving it lets the backward skip the
+# recompute entirely.  Beyond the budget (very large ray sets) the
+# backward falls back to recomputing, trading time for memory.
+_PLAN_RESID_BUDGET = 3 * 1024 ** 3
+
+
+def _plan_resid_bytes(cfg, geos, n_chunks, chunk_r):
+    from .kernels import splatter_sorted as ss
+
+    N = chunk_r * cfg.tot_num_samples
+    tot = 0
+    for geo in geos:
+        _nb, ngc = ss._caps(geo, N)
+        npad = ngc * ss.GBINS * ss.BIN
+        ngc8 = -(-ngc // 8) * 8
+        tot += (3 * npad + ngc8 * 128 + N) * 4
+    return tot * n_chunks
+
+
+def _save_sorted_plans(cfg, geom) -> bool:
+    from .kernels import splatter_sorted as ss
+
+    geos = ss.sorted_geos(cfg)
+    n_chunks, chunk_r = _sorted_chunk_shape(
+        geom[0].shape[0], cfg.tot_num_samples,
+        mlp=len(cfg.n_hidden) > 0, n_grids=len(geos),
+    )
+    return _plan_resid_bytes(cfg, geos, n_chunks, chunk_r) \
+        <= _PLAN_RESID_BUDGET
+
+
+def _sorted_fwd_impl(cfg: _SplatCfg, geom, diff, want_plans: bool = False):
     """Chunk-scanned sorted splat: pad rays to equal chunks (padding rows
     have valid_mask=0 so the plan kills them via the _BIG coord sentinel),
     then scan the chunks over one padded HBM accumulator per sub-grid
     (multi-grid lists run one sort + one kernel pass per sub-grid,
-    sharing the chunk's sample stream)."""
+    sharing the chunk's sample stream).
+
+    ``want_plans=True`` (the custom-VJP forward under the residual
+    budget) additionally returns the per-(chunk, sub-grid) plan tables
+    the backward needs — stacked as scan ys — so the backward skips its
+    plan recompute (including the un-sort map's second sort, computed
+    here via ``want_pos``)."""
     from .kernels import splatter_sorted as ss
 
     geos = ss.sorted_geos(cfg)
@@ -413,26 +457,30 @@ def _sorted_fwd_impl(cfg: _SplatCfg, geom, diff):
             if with_mlp else None
         )
         out = []
+        plans_out = []
         for geo, acc in zip(geos, accs):
-            plan = ss.sorted_plan(cfg, geo, geom_c, want_pos=False)
+            plan = ss.sorted_plan(cfg, geo, geom_c, want_pos=want_plans)
             if with_mlp:
                 vals = ss.sorted_vals_sample(geo, plan, fused, geom_c[5])
             else:
                 vals = ss.sorted_vals(geo, plan, feat_c, geom_c[5])
             out.append(ss.sorted_splat_acc(cfg, geo, plan, vals, acc))
-        return tuple(out), None
+            if want_plans:
+                plans_out.append({k: plan[k] for k in _PLAN_RESID_KEYS})
+        return tuple(out), (plans_out if want_plans else None)
 
     if n_chunks == 1:
-        accs, _ = body(accs0, tuple(a[0] for a in xs))
+        accs, plans = body(accs0, tuple(a[0] for a in xs))
     else:
-        accs, _ = jax.lax.scan(body, accs0, xs)
+        accs, plans = jax.lax.scan(body, accs0, xs)
     feats, ws = zip(*[
         ss.crop_acc(geo, acc) for geo, acc in zip(geos, accs)
     ])
     cat = lambda parts: (
         parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     )
-    return cat(feats), cat(ws)
+    out = (cat(feats), cat(ws))
+    return (out, plans) if want_plans else out
 
 
 def _sorted_grad_grids(cfg, geos, g_feat_grid):
@@ -449,10 +497,11 @@ def _sorted_grad_grids(cfg, geos, g_feat_grid):
     return ggs
 
 
-def _sorted_bwd_impl(cfg: _SplatCfg, geom, g_feat_grid):
-    """Chunk-scanned sorted-splat adjoint; re-derives each chunk's plans
-    from the geometry (the sort is deterministic, so recompute beats
-    saving the large per-chunk plan tables as residuals)."""
+def _sorted_bwd_impl(cfg: _SplatCfg, geom, g_feat_grid, plans=None):
+    """Chunk-scanned sorted-splat adjoint.  ``plans`` — the fw pass's
+    saved per-(chunk, sub-grid) plan tables — skips the plan recompute
+    (the dominant cost of the pass); ``None`` re-derives each chunk's
+    plan from the geometry (exact: the sort is deterministic)."""
     from .kernels import splatter_sorted as ss
 
     geos = ss.sorted_geos(cfg)
@@ -467,23 +516,28 @@ def _sorted_bwd_impl(cfg: _SplatCfg, geom, g_feat_grid):
     geom_s = tuple(stack(a) for a in geom)
     ggs = _sorted_grad_grids(cfg, geos, g_feat_grid)
 
-    def body(_, geom_c):
+    def body(_, xs_c):
+        geom_c, plans_c = xs_c
         g_enc = None
-        for geo, gg in zip(geos, ggs):
-            plan = ss.sorted_plan(cfg, geo, geom_c)
+        for gi, (geo, gg) in enumerate(zip(geos, ggs)):
+            plan = (
+                plans_c[gi] if plans_c is not None
+                else ss.sorted_plan(cfg, geo, geom_c)
+            )
             t = ss.sorted_splat_bwd(cfg, geo, plan, chunk_r, gg)
             g_enc = t if g_enc is None else g_enc + t
         return 0, g_enc * geom_c[5][:, None]
 
     if n_chunks == 1:
-        _, g_enc = body(0, tuple(a[0] for a in geom_s))
+        _, g_enc = body(0, (tuple(a[0] for a in geom_s), plans))
     else:
-        _, gs = jax.lax.scan(body, 0, geom_s)
+        _, gs = jax.lax.scan(body, 0, (geom_s, plans))
         g_enc = gs.reshape(Rp, gs.shape[-1])
     return g_enc[:R]
 
 
-def _sorted_bwd_mlp_impl(cfg: _SplatCfg, geom, diff, g_feat_grid):
+def _sorted_bwd_mlp_impl(cfg: _SplatCfg, geom, diff, g_feat_grid,
+                         plans=None):
     """MLP-splatter adjoint on the sorted path: the per-sample gradient
     stream from the bw kernel (summed over the grid-list's sub-grids) is
     the cotangent of the fused per-sample vectors — one ``jax.vjp``
@@ -506,12 +560,16 @@ def _sorted_bwd_mlp_impl(cfg: _SplatCfg, geom, diff, g_feat_grid):
     xs = tuple(stack(a) for a in geom) + (stack(encoding),)
     ggs = _sorted_grad_grids(cfg, geos, g_feat_grid)
 
-    def body(carry, xs_c):
+    def body(carry, xs_cp):
+        xs_c, plans_c = xs_cp
         g_ig, g_mlp = carry
         geom_c, enc_c = xs_c[:-1], xs_c[-1]
         g_s = None
-        for geo, gg in zip(geos, ggs):
-            plan = ss.sorted_plan(cfg, geo, geom_c)
+        for gi, (geo, gg) in enumerate(zip(geos, ggs)):
+            plan = (
+                plans_c[gi] if plans_c is not None
+                else ss.sorted_plan(cfg, geo, geom_c)
+            )
             t = ss.sorted_splat_bwd(cfg, geo, plan, chunk_r, gg,
                                     per_sample=True)
             g_s = t if g_s is None else g_s + t
@@ -529,9 +587,11 @@ def _sorted_bwd_mlp_impl(cfg: _SplatCfg, geom, diff, g_feat_grid):
         zeros_with_vma(mlp_params.shape, mlp_params.dtype, geom[2]),
     )
     if n_chunks == 1:
-        (g_ig, g_mlp), g_enc = body(init, tuple(a[0] for a in xs))
+        (g_ig, g_mlp), g_enc = body(
+            init, (tuple(a[0] for a in xs), plans)
+        )
     else:
-        (g_ig, g_mlp), gs = jax.lax.scan(body, init, xs)
+        (g_ig, g_mlp), gs = jax.lax.scan(body, init, (xs, plans))
         g_enc = gs.reshape(Rp, gs.shape[-1])
     return g_enc[:R], g_ig, g_mlp
 
@@ -542,16 +602,23 @@ def _splat_core_sorted(cfg: _SplatCfg, geom, diff):
 
 
 def _splat_sorted_fwd(cfg, geom, diff):
-    return _sorted_fwd_impl(cfg, geom, diff), (geom, diff)
+    if _save_sorted_plans(cfg, geom):
+        out, plans = _sorted_fwd_impl(cfg, geom, diff, want_plans=True)
+        return out, (geom, diff, plans)
+    return _sorted_fwd_impl(cfg, geom, diff), (geom, diff, None)
 
 
 def _splat_sorted_bwd(cfg: _SplatCfg, res, g_out):
-    geom, diff = res
+    geom, diff, plans = res
     g_feat_grid, _g_w_grid = g_out  # weight cotangent ignored (see above)
     if len(cfg.n_hidden) == 0:
-        grads = (_sorted_bwd_impl(cfg, geom, g_feat_grid), None, None)
+        grads = (
+            _sorted_bwd_impl(cfg, geom, g_feat_grid, plans=plans),
+            None, None,
+        )
     else:
-        grads = _sorted_bwd_mlp_impl(cfg, geom, diff, g_feat_grid)
+        grads = _sorted_bwd_mlp_impl(cfg, geom, diff, g_feat_grid,
+                                     plans=plans)
     g_geom = jax.tree_util.tree_map(zero_cotangent, geom)
     return g_geom, assert_grads_finite(grads, "splatter(sorted)")
 
