@@ -89,8 +89,18 @@ def analysis_mem_mb(compiled):
         return float("nan")
 
 
+def make_sphere_scaffold(radius, res=64):
+    """Binary occupancy of a centered sphere — the sparse-scene scaffold
+    benchmark case.  Rays whose march chunks all miss the sphere take the
+    kernels' whole-chunk skip branch (``_scaffold_chunk_skip``)."""
+    c = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res * 2.0 - 1.0
+    z, y, x = jnp.meshgrid(c, c, c, indexing="ij")
+    occ = (z * z + y * y + x * x) <= radius * radius
+    return occ.astype(jnp.float32)[None]                 # [1, res^3]
+
+
 def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False,
-              tile=None):
+              tile=None, scaffold_radius=None):
     from lightplane_tpu.ops.rays import default_tile
 
     if tile_order and tile is None:
@@ -99,13 +109,17 @@ def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False,
         jax.random.PRNGKey(0), image_size, tile_order=tile_order, tile=tile
     )
     tile_rays = tile[0] * tile[1] if (tile_order and tile) else None
+    scaffold = (
+        make_sphere_scaffold(scaffold_radius)
+        if scaffold_radius else None
+    )
 
     def fwd(grid, mp, enc):
         r = dataclasses.replace(rays, encoding=enc)
         d = dataclasses.replace(dp, mlp_params=mp)
         return lt.lightplane_renderer(
             r, grid, d, num_samples=num_samples, gain=1.0, impl=impl,
-            tile_rays=tile_rays,
+            tile_rays=tile_rays, scaffold=scaffold,
         )
 
     def loss(grid, mp, enc):
@@ -161,8 +175,17 @@ def main():
     p.add_argument("--num_samples", type=int, default=256)
     p.add_argument("--tile_order", action="store_true")
     p.add_argument("--tile", type=int, nargs=2, default=None)
+    p.add_argument(
+        "--scaffold_radius", type=float, default=None,
+        help="sparse-scene mode: gate the march with a centered-sphere "
+             "occupancy scaffold of this radius (world units; ~0.55 -> "
+             "~23%% of rays hit)",
+    )
     args = p.parse_args()
 
+    label = (
+        f"+sc{args.scaffold_radius}" if args.scaffold_radius else ""
+    )
     print("STATS,impl,image_size,n_rays,t_fw_ms,t_fwbw_ms,"
           "rays_per_s_fwbw,peak_mem_mb")
     for impl in args.impls:
@@ -172,14 +195,15 @@ def main():
                     impl, size, args.num_samples,
                     tile_order=args.tile_order,
                     tile=tuple(args.tile) if args.tile else None,
+                    scaffold_radius=args.scaffold_radius,
                 )
             except Exception as e:
-                print(f"STATS,{impl},{size},{size*size},ERROR,"
+                print(f"STATS,{impl}{label},{size},{size*size},ERROR,"
                       f"{type(e).__name__},,")
                 continue
             n = size * size
             print(
-                f"STATS,{impl},{size},{n},{r['fw']*1e3:.2f},"
+                f"STATS,{impl}{label},{size},{n},{r['fw']*1e3:.2f},"
                 f"{r['fwbw']*1e3:.2f},{n/r['fwbw']:.0f},"
                 f"{r['mem_mb']:.0f}"
             )

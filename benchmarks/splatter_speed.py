@@ -73,19 +73,36 @@ def bench_one(impl, n_views, view_res=128, grid_res=160, chn=64,
 
     f_fwd = jax.jit(fwd).lower(rays.encoding).compile()
     f_bwd = jax.jit(jax.grad(loss)).lower(rays.encoding).compile()
+
+    # ``block_until_ready`` can no-op through the axon tunnel: chain
+    # iterations through a data dependency and sync with one D2H,
+    # subtracting the 1-iter run (same fixed dispatch/D2H cost) — the
+    # bench.py methodology.
+    import numpy as np
+
+    def chain_fwd(n):
+        e = rays.encoding
+        for _ in range(n):
+            g = f_fwd(e)
+            e = e + g.ravel()[0] * 1e-30
+        return np.asarray(g.ravel()[:1])
+
+    def chain_bwd(n):
+        e = rays.encoding
+        for _ in range(n):
+            ge = f_bwd(e)
+            e = e + ge * 1e-30
+        return np.asarray(ge.ravel()[:1])
+
     res = {}
-    for name, fn in [("fw", f_fwd), ("fwbw", f_bwd)]:
-        out = fn(rays.encoding)
-        jax.block_until_ready(out)
-        del out
+    for name, chain in [("fw", chain_fwd), ("fwbw", chain_bwd)]:
+        chain(1)  # compile + warmup
         t0 = time.perf_counter()
-        out = None
-        for _ in range(n_reps):
-            prev = out
-            out = fn(rays.encoding)
-            del prev
-        jax.block_until_ready(out)
-        res[name] = (time.perf_counter() - t0) / n_reps
+        chain(1)
+        t1 = time.perf_counter()
+        chain(n_reps + 1)
+        t2 = time.perf_counter()
+        res[name] = ((t2 - t1) - (t1 - t0)) / n_reps
     mem = peak_mem_mb()
     if mem != mem:  # runtime stats unavailable: compile-time estimate
         mem = max(analysis_mem_mb(f_fwd), analysis_mem_mb(f_bwd))

@@ -20,6 +20,7 @@ from .ops.rays import (
     Rays,
     calc_harmonic_embedding,
     calc_harmonic_embedding_dim,
+    default_tile,
     jitter_near_far,
     tile_ray_order,
 )

@@ -98,15 +98,15 @@ class _RenderCfg:
     use_scaffold: bool
     scaffold_size: Optional[tuple]
     num_rays_noise: int  # R used in the noise counter scheme
-    # Matmul input dtype for the Pallas kernels: "float32" or "bfloat16"
-    # (f32 accumulation).  bfloat16 casts the grid-list and MLP weight
-    # tensors to bf16 OUTSIDE the kernel (in-kernel casts of f32 data are
-    # legally re-promoted to f32 under XLA's allow_excess_precision and
-    # gain nothing).  Measured on v5e (2026-08): isolated bf16x bf16
-    # stencil matmuls run ~1.8x faster than f32, but end-to-end the
-    # renderer is bound by the serialized VPU phases between matmuls, so
-    # the net effect is ~neutral; outputs differ from f32 at bf16
-    # precision (~3 significant digits).  The scan path ignores this.
+    # Kernel matmul input dtype.  Internal and pinned to float32: the
+    # public bfloat16 knob was REMOVED in round 3 after measurement — the
+    # TPU's default matmul precision already rounds operands to bf16 with
+    # f32 accumulation, so genuinely-bf16 inputs buy nothing on the MXU
+    # (measured ~neutral end-to-end on v5e, 2026-08; the kernels are
+    # bound by the serialized VPU phases between matmuls), and the W3
+    # boxed-DMA path is compute- not bandwidth-bound, so halving box DMA
+    # bytes does not help either.  f32-in/bf16-rounded-matmul is simply
+    # the mode of this hardware.
     compute_dtype: str = "float32"
     # Stride of the per-(ray, step) noise counter scheme.  Normally the
     # total sample count; pinned explicitly when the background tail is
@@ -533,7 +533,6 @@ def lightplane_renderer(
     grid_sizes=None,
     color_grid_sizes=None,
     impl: str = "auto",
-    compute_dtype: str = "float32",
     tile_rays: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused differentiable Emission-Absorption renderer.
@@ -582,7 +581,6 @@ def lightplane_renderer(
             else None
         ),
         num_rays_noise=R,
-        compute_dtype=str(compute_dtype),
         ray_block_rays=int(tile_rays) if tile_rays else None,
     )
 
