@@ -26,18 +26,21 @@ import lightplane_tpu as lt
 
 
 def make_inputs(key, image_size, res=32, chn=32, hidden=32, n_layers=2,
-                tile_order=False, tile=None):
+                tile_order=False, tile=None, grid_kind="triplane"):
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     dp = lt.init_decoder_params(
         k1, n_layers_opacity=n_layers, n_layers_trunk=n_layers,
         n_layers_color=n_layers, input_chn=chn, hidden_chn=hidden,
         color_chn=3, opacity_init_bias=-2.0,
     )
-    grid = [
-        jax.random.normal(k2, (1, 1, res, res, chn)) * 0.1,
-        jax.random.normal(k3, (1, res, 1, res, chn)) * 0.1,
-        jax.random.normal(k4, (1, res, res, 1, chn)) * 0.1,
-    ]
+    if grid_kind == "voxel":
+        grid = [jax.random.normal(k2, (1, res, res, res, chn)) * 0.1]
+    else:
+        grid = [
+            jax.random.normal(k2, (1, 1, res, res, chn)) * 0.1,
+            jax.random.normal(k3, (1, res, 1, res, chn)) * 0.1,
+            jax.random.normal(k4, (1, res, res, 1, chn)) * 0.1,
+        ]
     n = image_size * image_size
     ys, xs = jnp.meshgrid(
         jnp.linspace(-0.5, 0.5, image_size),
@@ -100,13 +103,15 @@ def make_sphere_scaffold(radius, res=64):
 
 
 def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False,
-              tile=None, scaffold_radius=None):
+              tile=None, scaffold_radius=None, grid_kind="triplane",
+              grid_res=32, contract=False):
     from lightplane_tpu.ops.rays import default_tile
 
     if tile_order and tile is None:
         tile = default_tile(image_size, image_size)
     rays, grid, dp = make_inputs(
-        jax.random.PRNGKey(0), image_size, tile_order=tile_order, tile=tile
+        jax.random.PRNGKey(0), image_size, tile_order=tile_order, tile=tile,
+        grid_kind=grid_kind, res=grid_res,
     )
     tile_rays = tile[0] * tile[1] if (tile_order and tile) else None
     scaffold = (
@@ -120,6 +125,7 @@ def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False,
         return lt.lightplane_renderer(
             r, grid, d, num_samples=num_samples, gain=1.0, impl=impl,
             tile_rays=tile_rays, scaffold=scaffold,
+            contract_coords=contract,
         )
 
     def loss(grid, mp, enc):
@@ -181,11 +187,21 @@ def main():
              "occupancy scaffold of this radius (world units; ~0.55 -> "
              "~23%% of rays hit)",
     )
+    p.add_argument("--grid", type=str, default="triplane",
+                   choices=["triplane", "voxel"])
+    p.add_argument("--grid_res", type=int, default=32,
+                   help="cells per grid axis (triplane planes or voxel)")
+    p.add_argument("--contract", action="store_true",
+                   help="MeRF coordinate contraction (unbounded scenes)")
     args = p.parse_args()
 
     label = (
         f"+sc{args.scaffold_radius}" if args.scaffold_radius else ""
     )
+    if args.grid != "triplane" or args.grid_res != 32:
+        label += f"+{args.grid}{args.grid_res}"
+    if args.contract:
+        label += "+contract"
     print("STATS,impl,image_size,n_rays,t_fw_ms,t_fwbw_ms,"
           "rays_per_s_fwbw,peak_mem_mb")
     for impl in args.impls:
@@ -196,6 +212,8 @@ def main():
                     tile_order=args.tile_order,
                     tile=tuple(args.tile) if args.tile else None,
                     scaffold_radius=args.scaffold_radius,
+                    grid_kind=args.grid, grid_res=args.grid_res,
+                    contract=args.contract,
                 )
             except Exception as e:
                 print(f"STATS,{impl}{label},{size},{size*size},ERROR,"

@@ -51,7 +51,7 @@ def make_rays(key, n_views, view_res, chn):
 
 
 def bench_one(impl, n_views, view_res=128, grid_res=160, chn=64,
-              num_samples=96, n_reps=3, shuffle=False):
+              num_samples=96, n_reps=3, shuffle=False, grid_kind="voxel"):
     rays = make_rays(jax.random.PRNGKey(0), n_views, view_res, chn)
     if shuffle:
         # destroy raster coherence: the boxed-DMA planner's fit flag fails
@@ -60,7 +60,16 @@ def bench_one(impl, n_views, view_res=128, grid_res=160, chn=64,
 
         perm = np.random.default_rng(0).permutation(rays.directions.shape[0])
         rays = jax.tree_util.tree_map(lambda a: a[perm], rays)
-    sizes = [(1, grid_res, grid_res, grid_res, chn)]
+    if grid_kind == "triplane":
+        # the lightplane paper's LRM-style lift: multi-view features into
+        # one big triplane
+        sizes = [
+            (1, 1, grid_res, grid_res, chn),
+            (1, grid_res, 1, grid_res, chn),
+            (1, grid_res, grid_res, 1, chn),
+        ]
+    else:
+        sizes = [(1, grid_res, grid_res, grid_res, chn)]
 
     def fwd(enc):
         r = dataclasses.replace(rays, encoding=enc)
@@ -117,6 +126,8 @@ def main():
     p.add_argument("--grid_res", type=int, default=160)
     p.add_argument("--channels", type=int, default=64)
     p.add_argument("--shuffle", action="store_true")
+    p.add_argument("--grid", type=str, default="voxel",
+                   choices=["voxel", "triplane"])
     args = p.parse_args()
 
     print("STATS,impl,n_views,n_rays,t_fw_ms,t_fwbw_ms,rays_per_s_fwbw,"
@@ -126,7 +137,8 @@ def main():
             n = v * 128 * 128
             try:
                 r = bench_one(impl, v, grid_res=args.grid_res,
-                              chn=args.channels, shuffle=args.shuffle)
+                              chn=args.channels, shuffle=args.shuffle,
+                              grid_kind=args.grid)
             except Exception as e:
                 msg = " ".join(str(e).split())[:160]
                 print(f"STATS,{impl},{v},{n},ERROR,{type(e).__name__},,")
