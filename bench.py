@@ -20,7 +20,12 @@ sampling) typically reach 25-35%% of that -> ~5-7 TFLOP/s ->
 """
 
 import json
+import os
 import time
+
+# Persistent compilation cache: remote (tunnelled) TPU compiles are slow;
+# warm-cache runs skip them entirely.  Must be set before jax imports.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcomp")
 
 import jax
 import jax.numpy as jnp

@@ -398,18 +398,13 @@ def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True):
     # (want_pos=False).
     pos_orig = None
     if want_pos:
-        # in-bucket rank WITHOUT a [N]-gather from ``bounds`` (TPU scalar
-        # gathers cost ~7 ns/elem — 10x the sort itself): each bucket is a
-        # contiguous run of the sorted keys, so its start index propagates
-        # with one cumulative max over run-start positions.
-        iota = jnp.arange(N, dtype=jnp.int32)
-        is_start = jnp.concatenate(
-            [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]
-        )
-        seg_start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(is_start, iota, 0)
-        )
-        rank = iota - seg_start
+        # in-bucket rank: a [N] gather from the small ``bounds`` table.
+        # NOTE cumulative formulations (rank = iota - cummax(run-start
+        # iota), via lax.cummax or associative_scan) were tried and
+        # REJECTED: the TPU backend's cumulative-op lowering takes ~27 s
+        # to compile at 1M elements and minutes at this plan's 4.2M —
+        # the scalar gather compiles instantly and costs ~40 ms/chunk.
+        rank = idx - jnp.take(bounds, jnp.minimum(key_s, geo.n_keys))
         pos = (
             jnp.take(octet_bin_start, jnp.minimum(key_s, geo.n_keys - 1))
             + rank // BIN
@@ -420,10 +415,12 @@ def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True):
             (idx_s, pos), num_keys=1, is_stable=False
         )
 
-    # slot -> source sample.  Each bin's 128 slots read CONSECUTIVE sorted
-    # positions, so the padded stream is n_bins_pad 128-wide dynamic
-    # slices of ``idx_s`` — a contiguous row gather, ~8x faster than the
-    # equivalent [Npad] scalar gather.
+    # slot -> source sample (gather construction of the padded streams).
+    # NOTE a vmap(dynamic_slice) row formulation was tried here and
+    # REJECTED: Mosaic's compile time for batched unaligned slices grows
+    # superlinearly (60 s at 8k rows, ~20 min at this plan's 44k rows —
+    # it serializes the whole compile service) and its steady-state is no
+    # faster than the scalar take (14.9 vs 13.2 ms/M on v5e).
     b = jnp.arange(n_bins_pad, dtype=jnp.int32)
     bin_oct = (
         jnp.searchsorted(octet_bin_start, b, side="right") - 1
@@ -435,16 +432,14 @@ def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True):
     j = jnp.arange(BIN, dtype=jnp.int32)[None]
     valid_slot = (rank0[:, None] + j) < cnt_b[:, None]
 
-    # per-slot sample id; sentinel sample N -> ray R -> the geometry pad
-    # row.  BIN sentinel rows appended so the slice at src_base == N stays
-    # in range (dynamic_slice clamps, the mask handles the rest).
+    src = jnp.where(valid_slot, src_base[:, None] + j, N).reshape(Npad)
+
+    # per-slot sample id: one scalar gather over the (nearly-sorted) slot
+    # map; sentinel sample N -> ray R -> the geometry pad row
     idx_s_app = jnp.concatenate(
-        [idx_s, jnp.full((BIN,), N, jnp.int32)]
+        [idx_s, jnp.full((1,), N, jnp.int32)]
     )
-    rows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(idx_s_app, (s,), (BIN,))
-    )(src_base)                                                # [nbp, BIN]
-    slot_sample = jnp.where(valid_slot, rows, N).reshape(Npad)
+    slot_sample = jnp.take(idx_s_app, src)                     # [Npad]
     # pad slots gather the ZERO sentinel row (R) rather than a real
     # ray's features: the _BIG coordinate masking already zeroes their
     # hat weights, but defense-in-depth keeps a masking bug from
