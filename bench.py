@@ -3,7 +3,8 @@
 Reference renderer benchmark config (``tests/renderer_speed_benchmark.py:
 228-287``): triplane 3 x (32^2 planes, 32 ch), 256 samples/ray, MLPs
 trunk/opacity/color = 2/2/2 layers, hidden 32, 256x256 rays, forward +
-backward.  Prints ONE JSON line:
+backward.  A no-arg run prints BOTH headline JSON lines (splatter, then
+renderer):
     {"metric": ..., "value": rays/sec, "unit": "rays/s", "vs_baseline": ...}
 
 ``vs_baseline`` is value / BASELINE_RAYS_PER_SEC, the estimated A100
@@ -25,7 +26,9 @@ import time
 
 # Persistent compilation cache: remote (tunnelled) TPU compiles are slow;
 # warm-cache runs skip them entirely.  Must be set before jax imports.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcomp")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jaxcomp")
+)
 
 import jax
 import jax.numpy as jnp
@@ -91,7 +94,9 @@ def main():
         )
         return jnp.sum(feat) + jnp.sum(depth) + jnp.sum(nlt)
 
-    fwdbwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
+    fwdbwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2))).lower(
+        grid, dp.mlp_params, rays.encoding
+    ).compile()
 
     # On some backends (axon tunnel) ``block_until_ready`` does not wait
     # for device completion; the only reliable sync is a D2H transfer.
@@ -118,13 +123,18 @@ def main():
 
     rays_per_sec = n_rays / dt
 
-    mem_mb = None
-    try:
-        stats = jax.local_devices()[0].memory_stats()
-        if stats and "peak_bytes_in_use" in stats:
-            mem_mb = stats["peak_bytes_in_use"] / 2**20
-    except Exception:
-        pass
+    # peak HBM: runtime stats where available, else XLA's compile-time
+    # buffer-assignment total (works through the axon tunnel)
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.renderer_speed import analysis_mem_mb, peak_mem_mb
+
+    mem_mb = peak_mem_mb()
+    if mem_mb != mem_mb:
+        mem_mb = analysis_mem_mb(fwdbwd)
+    if mem_mb != mem_mb:
+        mem_mb = None
 
     result = {
         "metric": (
@@ -192,7 +202,14 @@ def main_splatter():
 if __name__ == "__main__":
     import sys
 
-    if "--metric" in sys.argv and "splatter" in sys.argv:
-        main_splatter()
+    # No args: BOTH headline metrics (splatter first, renderer last) — the
+    # driver captures the plain `python bench.py` tail.  `--metric
+    # splatter` / `--metric renderer` select one.
+    if "--metric" in sys.argv:
+        if "splatter" in sys.argv:
+            main_splatter()
+        else:
+            main()
     else:
+        main_splatter()
         main()

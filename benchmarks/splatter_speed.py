@@ -15,7 +15,9 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcomp")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jaxcomp")
+)
 
 import jax
 import jax.numpy as jnp
@@ -134,6 +136,14 @@ def main():
 
     print("STATS,impl,n_views,n_rays,t_fw_ms,t_fwbw_ms,rays_per_s_fwbw,"
           "peak_mem_mb")
+    # encode the non-default config in the impl column so CSV rows from
+    # different runs stay distinguishable (mirrors renderer_speed.py)
+    label_bits = [f"+{args.grid}{args.grid_res}"]
+    if args.channels != 64:
+        label_bits.append(f"c{args.channels}")
+    if args.shuffle:
+        label_bits.append("+shuffle")
+    label = "".join(label_bits)
     for impl in args.impls:
         for v in args.views:
             n = v * 128 * 128
@@ -143,11 +153,11 @@ def main():
                               grid_kind=args.grid)
             except Exception as e:
                 msg = " ".join(str(e).split())[:160]
-                print(f"STATS,{impl},{v},{n},ERROR,{type(e).__name__},,")
+                print(f"STATS,{impl}{label},{v},{n},ERROR,{type(e).__name__},,")
                 print(f"#   {msg}", file=sys.stderr)
                 continue
             print(
-                f"STATS,{impl},{v},{n},{r['fw']*1e3:.2f},"
+                f"STATS,{impl}{label},{v},{n},{r['fw']*1e3:.2f},"
                 f"{r['fwbw']*1e3:.2f},{n/r['fwbw']:.0f},{r['mem_mb']:.0f}"
             )
 

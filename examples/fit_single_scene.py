@@ -25,6 +25,13 @@ import sys
 import time
 
 import jax
+
+# Honour JAX_PLATFORMS even when a higher-priority device plugin (e.g. a
+# tunnelled TPU backend) is installed: the env var alone can silently
+# lose to the plugin, sending CPU-intended runs to the device.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 import optax

@@ -100,10 +100,25 @@ class _W3Geo:
 
 
 def _w3_geo(size, C) -> Optional[_W3Geo]:
-    """Kernel geometry for one (possibly batched) voxel or plane grid."""
+    """Kernel geometry for one (possibly batched) voxel or plane grid.
+
+    Window extents flex to the grid (round 4: kills the alignment
+    cliffs — the reference samples ANY shape from global memory,
+    ``grid_sample_util.py:1088-1186``):
+
+    * y: 8-aligned starts must reach the top span, so the window absorbs
+      the height's mod-8 remainder (``W3_Y .. W3_Y+7`` cells); heights
+      below ``W3_Y`` get a whole-axis window (start always 0).
+    * x: the lane-aligned width grows to make ``(Wk - wx) % AX == 0``;
+      widths below the minimum get the whole axis.
+    * z: starts are unaligned; thin grids (``Dz < W3_Z``) get a
+      whole-axis window — which always fits.
+
+    Whole-axis windows make arbitrarily small sub-grids legal, so a
+    grid-list mixing tiny (e.g. a coarse 8^3 pyramid level) and big
+    sub-grids runs fused instead of dropping the whole list to the scan.
+    """
     b, d, h, w, _c = size
-    if 128 % math.gcd(C, 128):
-        return None
     ax = 128 // math.gcd(C, 128)
     dims = [(2, d), (1, h), (0, w)]
     actives = [(axis, s) for axis, s in dims if s > 1]
@@ -116,24 +131,15 @@ def _w3_geo(size, C) -> Optional[_W3Geo]:
         Dz, Hk, Wk = 1, sy, sx
     else:
         return None
-    if Hk < W3_Y or Wk < 12:
-        return None
-    if Dz > 1 and Dz < W3_Z:
-        return None
+    wy = Hk if Hk <= W3_Y else W3_Y + (Hk - W3_Y) % 8
     wx = -(-12 // ax) * ax          # >= 12 cells, lane-aligned width
-    if wx > Wk:
-        return None
+    if wx >= Wk:
+        wx = Wk
+    elif (Wk - wx) % ax:
+        wx = Wk - ((Wk - wx) // ax) * ax
     kD = b * Dz
-    wz = W3_Z if Dz > 1 else 1
-    if (Hk - W3_Y) % 8 or (Wk - wx) % ax:
-        # aligned window starts could not reach the top span
-        wxr = Wk - ((Wk - wx) // ax) * ax
-        if wxr > Wk:
-            return None
-        wx = wxr
-        if (Hk - W3_Y) % 8:
-            return None
-    return _W3Geo(D=kD, H=Hk, W=Wk, C=C, WX=wx, AX=ax, WZ=wz, WY=W3_Y,
+    wz = min(W3_Z, Dz)
+    return _W3Geo(D=kD, H=Hk, W=Wk, C=C, WX=wx, AX=ax, WZ=wz, WY=wy,
                   src=src, batch=b, Dz=Dz)
 
 

@@ -555,13 +555,20 @@ def test_w3_big_voxel_matches_scan(case):
         compare_one(a, b, f"w3_{case}/grad_{nm}")
 
 
-@pytest.mark.parametrize("case", ["triplane", "batched", "contracted"])
+@pytest.mark.parametrize(
+    "case", ["triplane", "batched", "contracted", "triplane100", "pyramid"]
+)
 def test_w3_big_shapes_match_scan(case):
     """Round-3 W3 shape coverage: fused rendering of big PLANES (the
     triplane 8192-cell cliff — reference samples any grid from global
     memory, grid_sample_util.py:1088-1186), BATCHED big voxels, and
     CONTRACTED big voxels (unbounded scenes, shared/ray_util.py:13-45 —
-    the planner bounds the contracted sample points exactly per step)."""
+    the planner bounds the contracted sample points exactly per step).
+
+    Round 4 kills the alignment cliffs: 'triplane100' exercises plane
+    heights not 0 (mod 8) (flexible WY windows), and 'pyramid' a
+    coarse-to-fine grid-list mixing a tiny 8^3 level (whole-axis
+    windows) with a beyond-VMEM 24^3 level."""
     from lightplane_tpu.ops.kernels import renderer_w3 as rw3
     from lightplane_tpu.ops.renderer import _RenderCfg
 
@@ -574,6 +581,14 @@ def test_w3_big_shapes_match_scan(case):
     if case == "triplane":
         res = 128  # 128^2 = 16384 cells/plane > MAX_CELLS_PER_GRID
         grid = random_grid(k3, 1, chn, res, "triplane", scale=0.5)
+    elif case == "triplane100":
+        res = 100  # 100^2 > MAX_CELLS_PER_GRID, height != 0 (mod 8)
+        grid = random_grid(k3, 1, chn, res, "triplane", scale=0.5)
+    elif case == "pyramid":
+        grid = [
+            jax.random.normal(k3, (1, 8, 8, 8, chn)) * 0.5,
+            jax.random.normal(k3, (1, 24, 24, 24, chn)) * 0.5,
+        ]
     elif case == "batched":
         grid = [jax.random.normal(k3, (2, 32, 32, 32, chn)) * 0.5]
         rays = dataclasses.replace(
