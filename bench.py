@@ -199,15 +199,112 @@ def main_splatter():
     print(json.dumps(result))
 
 
+# --------------------------------------------------------------------------
+# Memory headline (``python bench.py --metric memory``)
+#
+# BASELINE.md target: "< 1 GB HBM per image" for a batched 512x512
+# differentiable render + splat (the reference's batched-FullHD memory
+# story, README.md:13-14); plus the 256^2 render-backprop peak the
+# reference frames as ~10 MB vs ~10 GB autograd (README.md:37).  Peaks
+# are XLA buffer-assignment totals (``memory_analysis`` — works through
+# the device tunnel); only compilation is needed, nothing is timed.
+# --------------------------------------------------------------------------
+
+
+def main_memory():
+    import dataclasses
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.renderer_speed import analysis_mem_mb
+
+    # 1. renderer 256^2 fwd+bwd peak (the headline config)
+    rays, grid, dp = make_inputs(jax.random.PRNGKey(0))
+
+    def render_loss(grid, mlp_params, encoding):
+        r = dataclasses.replace(rays, encoding=encoding)
+        d = dataclasses.replace(dp, mlp_params=mlp_params)
+        depth, nlt, feat = lt.lightplane_renderer(
+            r, grid, d, num_samples=NUM_SAMPLES, gain=1.0
+        )
+        return jnp.sum(feat) + jnp.sum(depth) + jnp.sum(nlt)
+
+    c256 = jax.jit(jax.grad(render_loss, argnums=(0, 1, 2))).lower(
+        grid, dp.mlp_params, rays.encoding
+    ).compile()
+    mem256 = analysis_mem_mb(c256)
+    print(json.dumps({
+        "metric": "peak HBM, fused render fwd+bwd 256x256 (headline cfg)",
+        "value": round(mem256, 1), "unit": "MB",
+    }))
+
+    # 2. batched 512^2 differentiable render + splat, per image
+    from benchmarks.splatter_speed import make_rays as make_cam_rays
+
+    n_img = 4
+    size = 512
+    chn = 32
+    rays5 = make_cam_rays(jax.random.PRNGKey(1), n_img, size, chn)
+    order, _ = lt.tile_ray_order(size, size)
+    base = np.arange(n_img)[:, None] * (size * size)
+    full_order = jnp.asarray((base + np.asarray(order)[None]).ravel())
+    rays5 = jax.tree_util.tree_map(lambda a: a[full_order], rays5)
+    res = 128
+    out_sizes = (
+        (1, 1, res, res, chn),
+        (1, res, 1, res, chn),
+        (1, res, res, 1, chn),
+    )
+    dp5 = lt.init_decoder_params(
+        jax.random.PRNGKey(2), n_layers_opacity=2, n_layers_trunk=2,
+        n_layers_color=2, input_chn=chn, hidden_chn=HIDDEN, color_chn=3,
+        opacity_init_bias=-2.0,
+    )
+
+    def step_loss(encoding, mlp_params):
+        r = dataclasses.replace(rays5, encoding=encoding)
+        # 2D -> 3D: splat the per-ray features into a fresh triplane
+        lifted = lt.lightplane_splatter(
+            r, out_sizes, num_samples=96, return_list=True,
+        )
+        # 3D -> 2D: render the lifted triplane back (differentiably)
+        d = dataclasses.replace(dp5, mlp_params=mlp_params)
+        r2 = dataclasses.replace(
+            r, encoding=jnp.zeros((r.directions.shape[0], HIDDEN))
+        )
+        depth, nlt, feat = lt.lightplane_renderer(
+            r2, lifted, d, num_samples=256, gain=1.0
+        )
+        return jnp.sum(feat ** 2) + jnp.sum(nlt) + jnp.sum(depth)
+
+    c512 = jax.jit(jax.grad(step_loss, argnums=(0, 1))).lower(
+        rays5.encoding, dp5.mlp_params
+    ).compile()
+    mem512 = analysis_mem_mb(c512)
+    print(json.dumps({
+        "metric": (
+            f"peak HBM per image, batched {n_img}x{size}x{size} "
+            f"differentiable splat+render (triplane 3x{res}^2x{chn}ch)"
+        ),
+        "value": round(mem512 / n_img, 1), "unit": "MB",
+        "total_mb": round(mem512, 1),
+        "vs_baseline": round((1024.0) / max(mem512 / n_img, 1e-9), 4),
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
     # No args: BOTH headline metrics (splatter first, renderer last) — the
     # driver captures the plain `python bench.py` tail.  `--metric
-    # splatter` / `--metric renderer` select one.
+    # splatter` / `--metric renderer` / `--metric memory` select one.
     if "--metric" in sys.argv:
         if "splatter" in sys.argv:
             main_splatter()
+        elif "memory" in sys.argv:
+            main_memory()
         else:
             main()
     else:

@@ -55,10 +55,24 @@ from jax.experimental.pallas import tpu as pltpu
 # the benchmark configs at 64^3 with ~40% margin (measured per-axis block
 # spans <= 4.9 cells at 256^2 x 256 samples); the runtime fit flag guards
 # the rest.
-W3_Z = 8
-W3_Y = 16
-RAY_BLOCK_W3 = 64
-W3_TILE = (8, 8)
+import os as _os
+
+W3_Z = int(_os.environ.get("LT_W3_Z", "8"))
+W3_Y = int(_os.environ.get("LT_W3_Y", "16"))
+RAY_BLOCK_W3 = int(_os.environ.get("LT_W3_BLOCK", "64"))
+W3_WX_MIN = int(_os.environ.get("LT_W3_WX", "12"))
+
+
+def _w3_tile(block):
+    """Squarest (rows, cols) pixel tile for a ray block (rows a multiple
+    of 8) — compact frustum footprints keep the window spans small."""
+    th = 8
+    while th * 2 <= block // (th * 2):
+        th *= 2
+    return (th, block // th)
+
+
+W3_TILE = _w3_tile(RAY_BLOCK_W3)
 _BIG = 3.0e37
 
 
@@ -132,7 +146,7 @@ def _w3_geo(size, C) -> Optional[_W3Geo]:
     else:
         return None
     wy = Hk if Hk <= W3_Y else W3_Y + (Hk - W3_Y) % 8
-    wx = -(-12 // ax) * ax          # >= 12 cells, lane-aligned width
+    wx = -(-W3_WX_MIN // ax) * ax   # lane-aligned minimum width
     if wx >= Wk:
         wx = Wk
     elif (Wk - wx) % ax:
@@ -320,6 +334,7 @@ class _W3Sampler:
                  gsel_m=None):
         self.geo = geo
         self.box_ref = box_ref
+        self.pts_ks = pts_ks   # kept for the ablation hooks' M derivation
         self.w0z, self.w0y, self.w0x = w0z, w0y, w0x
         self.gout_ref = gout_ref
         self.gbox_ref = gbox_ref

@@ -534,6 +534,7 @@ def lightplane_renderer(
     color_grid_sizes=None,
     impl: str = "auto",
     tile_rays: Optional[int] = None,
+    image_size: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused differentiable Emission-Absorption renderer.
 
@@ -545,6 +546,15 @@ def lightplane_renderer(
     ``impl`` selects the fused implementation: ``"auto"`` (Pallas TPU
     kernels when supported, else XLA scan), ``"pallas"``, or ``"scan"``.
 
+    ``image_size=(height, width)`` declares that ``rays`` are a full
+    raster-order image: the call tile-reorders them internally
+    (:func:`tile_ray_order`, adaptive tile shape) so the packed 2D-window
+    kernels engage, and inverse-scatters the per-ray outputs — raster
+    callers get tile-order throughput without touching their ray layout
+    (the :class:`LightplaneRenderer` module's ``image_size`` option,
+    lifted to the functional API).  With ``inject_noise_sigma`` the noise
+    stream follows the internal tile order (as in the module).
+
     Returns:
         ray_length_render: ``[R]`` expected ray-termination length.
         negative_log_transmittance: ``[R]``.
@@ -555,6 +565,26 @@ def lightplane_renderer(
         process_and_flatten_grid(grid, color_grid, grid_sizes, color_grid_sizes)
     )
     R = rays.directions.shape[0]
+
+    inv = None
+    if image_size is not None:
+        import numpy as np
+
+        from .rays import default_tile, tile_ray_order
+
+        h, w = int(image_size[0]), int(image_size[1])
+        if R != h * w:
+            raise ValueError(
+                f"image_size {image_size} does not match the ray count "
+                f"({R} != {h * w})"
+            )
+        tile = default_tile(h, w)
+        order_np, inv_np = tile_ray_order(h, w, tile=tile)
+        if not np.array_equal(order_np, np.arange(R)):
+            rays = rays[jnp.asarray(order_np)]
+            inv = jnp.asarray(inv_np)
+            if tile_rays is None:
+                tile_rays = tile[0] * tile[1]
 
     if inject_noise_sigma > 0.0 and inject_noise_seed is None:
         raise ValueError(
@@ -631,4 +661,6 @@ def lightplane_renderer(
 
     if decoder_params.color_chn < feat.shape[-1]:
         feat = feat[..., : decoder_params.color_chn]
+    if inv is not None:
+        depth, nlt, feat = depth[inv], nlt[inv], feat[inv]
     return depth, nlt, feat

@@ -315,8 +315,15 @@ _splat_core_big.defvjp(_splat_big_fwd, _splat_big_bwd)
 # chunks scanned over one threaded HBM accumulator.  Equal shapes + lax.scan
 # keep exactly one chunk's sort/stream buffers live (round 1's unequal
 # unrolled chunks defeated XLA buffer reuse -> 17.6 GiB temp -> OOM on the
-# 16 GB v5e at the reference 160^3x64 splatter benchmark config).
-_SORTED_CHUNK_SAMPLES = 4_194_304
+# 16 GB v5e at the reference 160^3x64 splatter benchmark config).  The
+# chunk size is the peak-HBM knob: the transient per-chunk value and
+# gradient streams are ~[chunk_samples x 128] f32 each, so halving the
+# chunk halves them (at a small fixed-overhead cost per extra chunk).
+import os as _os
+
+_SORTED_CHUNK_SAMPLES = int(_os.environ.get(
+    "LIGHTPLANE_SORTED_CHUNK_SAMPLES", 4_194_304
+))
 
 
 def _sorted_chunk_shape(R: int, S: int, mlp: bool = False,
@@ -445,7 +452,8 @@ def _sorted_fwd_impl(cfg: _SplatCfg, geom, diff, want_plans: bool = False):
     )
     xs = tuple(stack(a) for a in geom) + (stack(splatting_feature),)
     accs0 = tuple(
-        jnp.zeros((g.PZ, g.PY, g.PXp, ss.CPAD), jnp.float32) for g in geos
+        zeros_with_vma((g.PZ, g.PY, g.LX), jnp.float32, geom[0])
+        for g in geos
     )
 
     def body(accs, xs_c):
@@ -456,14 +464,20 @@ def _sorted_fwd_impl(cfg: _SplatCfg, geom, diff, want_plans: bool = False):
             )
             if with_mlp else None
         )
+        feat_aug = (
+            None if with_mlp else ss.feat_augmented(feat_c, geom_c[5])
+        )
         out = []
         plans_out = []
         for geo, acc in zip(geos, accs):
-            plan = ss.sorted_plan(cfg, geo, geom_c, want_pos=want_plans)
+            # no-MLP: the plan's merged slot gather returns the splat
+            # values fused with the geometry rows (one gather, not two)
+            plan = ss.sorted_plan(cfg, geo, geom_c, want_pos=want_plans,
+                                  feat_aug=feat_aug)
             if with_mlp:
                 vals = ss.sorted_vals_sample(geo, plan, fused, geom_c[5])
             else:
-                vals = ss.sorted_vals(geo, plan, feat_c, geom_c[5])
+                vals = plan.pop("vals")
             out.append(ss.sorted_splat_acc(cfg, geo, plan, vals, acc))
             if want_plans:
                 plans_out.append({k: plan[k] for k in _PLAN_RESID_KEYS})

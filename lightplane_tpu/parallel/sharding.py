@@ -126,13 +126,22 @@ def data_parallel_renderer(mesh: Mesh, axis_name: str = RAY_AXIS, **defaults):
 
 
 def data_parallel_splatter(mesh: Mesh, axis_name: str = RAY_AXIS,
-                           use_mlp: bool = False, **defaults):
+                           use_mlp: bool = False, check_vma: bool = True,
+                           **defaults):
     """Build a data-parallel splatter: rays sharded, output grids replicated.
 
     Each device splats its local rays into a local grid; the (feature,
     weight) accumulators are ``psum``-reduced across the mesh *before* the
     normalization quotient so the result is identical to a single-device
     splat.  Implemented by splatting un-normalized partial grids per shard.
+
+    ``check_vma=False`` disables shard_map's varying-axes tracking (and
+    the pcast marking that depends on it).  Needed when the Pallas
+    kernels run in INTERPRET mode under the mesh (CPU tests): the
+    interpreter's discharged jaxpr mixes varying block values with
+    invariant loop indices, which the vma checker rejects.  Semantics are
+    unchanged — the explicit psum already carries the cross-shard
+    reduction.
     """
 
     def splat(rays: Rays, output_grid_size, mlp_params=None, input_grid=None,
@@ -151,6 +160,7 @@ def data_parallel_splatter(mesh: Mesh, axis_name: str = RAY_AXIS,
             mesh=mesh,
             in_specs=(P(axis_name), P(), P()),
             out_specs=P(),
+            check_vma=check_vma,
         )
         def _sharded(rays_tuple, mlp_flat, input_grid):
             directions, origins, grid_idx, near, far, encoding = rays_tuple
@@ -161,7 +171,7 @@ def data_parallel_splatter(mesh: Mesh, axis_name: str = RAY_AXIS,
             pv = lambda t: jax.tree_util.tree_map(
                 lambda x: (
                     jax.lax.pcast(x, (axis_name,), to='varying')
-                    if x is not None else x
+                    if x is not None and check_vma else x
                 ),
                 t,
             )

@@ -16,17 +16,14 @@ reference's global-memory ``tl.atomic_add`` splats
    *bins* (slot->sample maps are all gathers + vectorized binary
    searches — no scatters anywhere).
 2. **Phase B (Pallas)**: the grid walks 32-bin groups in sorted order.
-   The kernel keeps the current slab's ``[BZ, BY, PXp*CPAD]`` cell box
-   (+1 z/y halo; x and channels FOLDED into the lane dim so the HBM
-   accumulator is packed at CPAD = round16(C+1) lanes per cell instead
-   of a full 128-lane tile) as VMEM scratch — RMW'd from/to the HBM
+   The kernel keeps the current slab's ``[BZ, BY, PXp, 128]`` cell box
+   (+1 z/y halo; x and channel dims whole, as Mosaic requires of
+   HBM<->VMEM DMA slices) as VMEM scratch — RMW'd from/to the HBM
    accumulator on the slab's first/last group — and splats each bin with
-   one FACTORED MXU matmul ``st_zy^T @ (hx * values_rep)`` against the
-   bin's ``WZ x WY x WX``-cell window (z/y trilinear hats on the left,
-   the x hat expanded over the folded x*channel lanes on the right —
-   the outer-product trilinear stencil is never materialized).  Each
-   slab owns one contiguous group run, so the accumulation is
-   race-free.
+   one ``stencil^T @ values`` MXU matmul against the bin's
+   ``WZ x WY x WX``-cell window (trilinear hats vs the window's absolute
+   cell coordinates).  Each slab owns one contiguous group run, so the
+   accumulation is race-free.
 
 **Grid-shape coverage** (round 3): every reference grid shape splats
 fused — voxel grids, all three plane orientations (``(1,H,W)``,
@@ -61,21 +58,18 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import renderer_pallas as rp
-from .renderer_pallas import MAX_CELLS_PER_GRID
+from lightplane_tpu.ops.kernels import renderer_pallas as rp
+from lightplane_tpu.ops.kernels.renderer_pallas import MAX_CELLS_PER_GRID
 
 # Octet (bucket) cell extents; 8-aligned so window x-starts respect the
 # sublane tiling of the box scratch's x axis.
 OCT = 8
 BIN = 128                     # samples per stencil matmul
 GBINS = 32                    # bins per Pallas grid step
-CPAD_MAX = 128                # channel capability cap (one lane tile)
-_LANES = 128                  # physical VMEM lane tile (budget accounting)
+CPAD = 128                    # accumulator channel padding (DMA lane tile)
 _BOX_BUDGET = 40 * 1024 * 1024   # VMEM bytes for the slab scratch
 _ACC_BUDGET = 6 * 1024 ** 3      # HBM bytes for all padded accumulators
 _BIG = 1.0e9                  # coord sentinel: zero hat weight everywhere
-_G9 = 9                       # per-ray geometry row width (o, d, near,
-                              # far, grid_idx)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,16 +100,6 @@ class _SortedGeo:
     PZ: int
     PY: int
     PXp: int                  # padded x extent (whole-dim DMA'd)
-    # accumulator channel padding: C1 rounded up to 16 lanes.  The
-    # accumulator folds x and channels into ONE lane dimension
-    # ``[PZ, PY, PXp * CPAD]`` (round 4): Mosaic requires a separate
-    # trailing channel dim to be a full 128-lane tile, but a folded lane
-    # dim is packed — 80 lanes instead of 128 at the reference
-    # 64-channel config cuts accumulator HBM, its DMA traffic, and the
-    # splat matmul's output tiles by 38%.  CPAD % 16 == 0 keeps every
-    # dynamic window lane offset (``dx * CPAD``, dx a multiple of 8)
-    # 128-aligned.
-    CPAD: int = CPAD_MAX
 
     @property
     def Dk(self):
@@ -132,14 +116,7 @@ class _SortedGeo:
 
     @property
     def BY(self):
-        # +1 y halo, rounded to the sublane tile: the folded rank-3
-        # box's y axis is the tiled sublane dim, whose DMA slice extents
-        # must be multiples of 8 (the extra rows round-trip unchanged)
-        return -(-(self.SUPY + 1) // 8) * 8
-
-    @property
-    def LX(self):             # folded x*channel lane extent of the box
-        return self.PXp * self.CPAD
+        return self.SUPY + 1
 
     @property
     def WZ(self):             # bin window extents
@@ -185,7 +162,7 @@ class _SortedGeo:
 
     @property
     def acc_bytes(self):
-        return self.PZ * self.PY * self.PXp * self.CPAD * 4
+        return self.PZ * self.PY * self.PXp * CPAD * 4
 
 
 def _kernel_axes(b, d, h, w) -> Optional[Tuple[Tuple[int, int, int],
@@ -210,9 +187,8 @@ def sorted_geos(cfg) -> Optional[List[_SortedGeo]]:
     """Per-sub-grid kernel geometry, or None when any grid is
     unsupported (fewer than 2 active axes, channels beyond CPAD, or the
     padded accumulators exceed the HBM budget)."""
-    if cfg.out_chn + 1 > CPAD_MAX:
+    if cfg.out_chn + 1 > CPAD:
         return None
-    cpad = -(-(cfg.out_chn + 1) // 16) * 16
     geos = []
     total = 0
     for (b, d, h, w, c) in cfg.output_grid_sizes:
@@ -229,20 +205,17 @@ def sorted_geos(cfg) -> Optional[List[_SortedGeo]]:
             sz = 1 if Dk == 1 else min(s, zcap)
             sy = min(s, ycap)
             bz = sz + 1 if Dk > 1 else 1
-            by8 = -(-(sy + 1) // 8) * 8
-            if bz * by8 * pxp * cpad * 4 <= _BOX_BUDGET:
+            if bz * (sy + 1) * pxp * CPAD * 4 <= _BOX_BUDGET:
                 supz, supy = sz, sy
                 break
         if supy == 0:
             return None
         nsz = -(-Dk // supz)
         nsy = -(-Hk // supy)
-        by8 = -(-(supy + 1) // 8) * 8
         geo = _SortedGeo(
             B=b, gD=d, gH=h, gW=w, C=c, C1=c + 1, src=src,
             Dz=Dz, Hk=Hk, Wk=Wk, SUPZ=supz, SUPY=supy, nsz=nsz, nsy=nsy,
-            PZ=nsz * supz + 1, PY=(nsy - 1) * supy + by8, PXp=pxp,
-            CPAD=cpad,
+            PZ=nsz * supz + 1, PY=nsy * supy + 1, PXp=pxp,
         )
         total += geo.acc_bytes
         geos.append(geo)
@@ -277,7 +250,7 @@ def _march_points(cfg, origins, directions, near, far, step):
     weights match the octet key it was sorted under — both call this one
     function (and :func:`_kernel_coords`) with identical expressions.
     """
-    from ..naive_renderer import _contract_pi
+    from lightplane_tpu.ops.naive_renderer import _contract_pi
 
     ns, ni = cfg.num_samples, cfg.num_samples_inf
     s = step.astype(jnp.float32)
@@ -324,34 +297,26 @@ def _kernel_coords(geo: _SortedGeo, pts, gidx):
     return fz, fy, fx
 
 
-def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True,
-                feat_aug=None):
+def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True):
     """Phase A: sort samples into octet bins; build all kernel-side tables.
 
     Performance shape (measured on v5e at the 160^3x64 bench chunking,
-    ~4.2M samples/chunk): the plan sorts ONLY ``(key, sample_id)`` and
-    *recomputes* each slot's coordinates from a 9-wide per-ray geometry
-    table, instead of carrying coordinates through the sort (a 5-stream
-    ``lax.sort`` costs ~15x a 2-stream one).  SCALAR gathers from small
-    tables (``take(bounds, key_s)`` etc.) fuse into XLA elementwise
-    loop fusions on TPU and are nearly free in context; ROW gathers
-    (``[N, k]`` takes) do NOT fuse and cost ~4-7 ns per row — round 4
-    tried replacing the scalar lookups with fused row gathers and
-    measured the whole plan 1.7x SLOWER end to end (137.7 vs 81.6
-    ms/chunk), so the scalar-gather formulation is load-bearing, not
-    incidental.  Dead samples (invalid rays, masked OOB, zero-stencil)
-    get key ``n_keys`` — a trailing bucket that is never binned,
-    shrinking the padded stream instead of splatting zeros.
+    ~4.2M samples/chunk): a 5-stream ``lax.sort`` costs ~15x a 2-stream
+    one, and gathering narrow ``[N, 3]`` coordinate rows through the padded
+    slot map costs ~200 ms — so the plan sorts ONLY ``(key, sample_id)``
+    and *recomputes* each slot's coordinates from a 9-wide per-ray
+    geometry table (a small-source gather: ~44k rows), instead of carrying
+    the coordinates through the sort and slot gathers.  Dead samples
+    (invalid rays, masked OOB) get key ``n_keys`` — a trailing bucket that
+    is never binned, shrinking the padded stream instead of splatting
+    zeros.
 
     Returns a dict of device arrays (static shapes from ``_caps``):
       fzT/fyT/fxT  [n_groups_cap*BIN, GBINS] kernel-frame sample coords,
                    transposed so bin q's samples are column q of its group
       table        [ngc8, 128] i32 per-group SMEM rows
                    (slab z/y starts, first, last, GBINS x (dz, dy, dx))
-      sample_pad   [Npad] i32 sample id per padded slot (N = pad sentinel)
-      vals         [Npad, cpv] f32 splat values per slot, lanes [0, CPAD)
-                   (only when ``feat_aug`` — the no-MLP values [R, C1] —
-                   is given)
+      ray_pad      [Npad] i32 ray index per padded slot (clipped)
       pos_orig     [N] i32 padded slot of each original sample
                    (``Npad`` = dead: points at the bw pass's zero row)
     """
@@ -404,8 +369,7 @@ def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True,
     idx = jnp.arange(N, dtype=jnp.int32)
     # stability is not required: bins are order-independent and every
     # consumer reads the one shared sorted stream (unstable sorts are
-    # still deterministic for fixed inputs).  A num_keys=2 tie-break was
-    # tried for gather locality and made no measurable difference.
+    # still deterministic for fixed inputs)
     key_s, idx_s = jax.lax.sort((key, idx), num_keys=1, is_stable=False)
 
     # per-octet sample counts from the sorted keys (binary searches; no
@@ -434,24 +398,19 @@ def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True,
     # (want_pos=False).
     pos_orig = None
     if want_pos:
-        # in-bucket rank: SCALAR gathers from the small ``bounds`` /
-        # ``octet_bin_start`` tables — these fuse into the surrounding
-        # elementwise ops (see the docstring; a fused [N, 2] row gather
-        # was tried and REJECTED: row gathers do not fuse).
+        # in-bucket rank: a [N] gather from the small ``bounds`` table.
         # NOTE cumulative formulations (rank = iota - cummax(run-start
         # iota), via lax.cummax or associative_scan) were tried and
         # REJECTED: the TPU backend's cumulative-op lowering takes ~27 s
         # to compile at 1M elements and minutes at this plan's 4.2M —
-        # the scalar gather compiles instantly.
+        # the scalar gather compiles instantly and costs ~40 ms/chunk.
         rank = idx - jnp.take(bounds, jnp.minimum(key_s, geo.n_keys))
         pos = (
             jnp.take(octet_bin_start, jnp.minimum(key_s, geo.n_keys - 1))
             + rank // BIN
         ) * BIN + rank % BIN
         pos = jnp.where(key_s == geo.n_keys, Npad, pos)
-        # orig-sample -> slot: invert the sort with a second sort (an
-        # inverse-permutation scatter was tried and REJECTED: 25 ms vs
-        # ~6 ms for the sort on v5e)
+        # orig-sample -> slot: invert the sort with a second sort
         _, pos_orig = jax.lax.sort(
             (idx_s, pos), num_keys=1, is_stable=False
         )
@@ -476,7 +435,7 @@ def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True,
     src = jnp.where(valid_slot, src_base[:, None] + j, N).reshape(Npad)
 
     # per-slot sample id: one scalar gather over the (nearly-sorted) slot
-    # map; sentinel sample N -> ray R -> the geometry/value pad row
+    # map; sentinel sample N -> ray R -> the geometry pad row
     idx_s_app = jnp.concatenate(
         [idx_s, jnp.full((1,), N, jnp.int32)]
     )
@@ -496,18 +455,6 @@ def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True,
             .reshape(n_groups_cap * BIN, GBINS)
         )
 
-    vals = None
-    if feat_aug is not None:
-        # value rows padded to a full lane tile: 128-aligned rows gather
-        # ~1.5x faster than odd widths (measured v5e), and the kernel's
-        # vals blocks stay tile-shaped (lanes [0, CPAD) hold the values)
-        cpv = -(-geo.CPAD // 128) * 128
-        tblv = jnp.pad(
-            feat_aug.astype(jnp.float32),
-            ((0, 1), (0, cpv - geo.C1)),
-        )
-        vals = jnp.take(tblv, ray_pad, axis=0)                 # [Npad, cpv]
-
     # recompute coords per slot, directly in the kernel's transposed
     # layout: a 9-wide row gather from the [R+1, 9] geometry table plus
     # elementwise math (bitwise-equal to the key pass — see
@@ -519,9 +466,9 @@ def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True,
         [origins, directions, near[:, None], far[:, None],
          grid_idx[:, None].astype(jnp.float32)], axis=1,
     ).astype(jnp.float32)
-    g9 = jnp.concatenate([g9, jnp.zeros((1, _G9), jnp.float32)], axis=0)
+    g9 = jnp.concatenate([g9, jnp.zeros((1, 9), jnp.float32)], axis=0)
     g9T = jnp.take(g9, rayT.reshape(-1), axis=0).reshape(
-        rayT.shape + (_G9,)
+        rayT.shape + (9,)
     )
     ptsT = _march_points(
         cfg, g9T[..., 0:3], g9T[..., 3:6], g9T[..., 6], g9T[..., 7], stepT,
@@ -562,73 +509,36 @@ def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True,
         table, ((0, ngc8 - n_groups_cap), (0, 128 - table.shape[1]))
     )
 
-    out = {
+    return {
         "fzT": fzT, "fyT": fyT, "fxT": fxT, "table": table,
-        "sample_pad": slot_sample, "pos_orig": pos_orig,
+        "ray_pad": ray_pad, "sample_pad": slot_sample, "pos_orig": pos_orig,
     }
-    if vals is not None:
-        out["vals"] = vals
-    return out
 
 
-def _sds(shape, dtype, *like):
-    """ShapeDtypeStruct whose varying-across-mesh-axes (vma) set is the
-    union of the given arrays' — required for ``pallas_call`` outputs
-    inside ``jax.shard_map`` (check_vma=True), a no-op elsewhere."""
-    vma = frozenset()
-    for x in like:
-        try:
-            v = jax.typeof(x).vma
-        except Exception:
-            v = None
-        if v:
-            vma = vma | v
-    if vma:
-        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
-    return jax.ShapeDtypeStruct(shape, dtype)
+def _stencil_bin(geo, fz, fy, fx, az0, ay0, ax0, iot):
+    """[BIN, wcells] trilinear hat stencil of one bin against its window.
+
+    ``az0``.. are the window's absolute start cells (traced scalars),
+    ``iot`` the precomputed [1, wcells] relative (z, y, x) cell iotas.
+    """
+    rz, ry, rx = iot
+    hz = jnp.maximum(0.0, 1.0 - jnp.abs(rz + az0.astype(jnp.float32) - fz))
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(ry + ay0.astype(jnp.float32) - fy))
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx + ax0.astype(jnp.float32) - fx))
+    return hz * hy * hx
 
 
-def _zy_hx(geo: _SortedGeo, fz, fy, fx, bz, by, dz, dy, dx, zy_iota,
-           xl_iota):
-    """Factored bin stencils: ``st_zy [BIN, WZ*WY]`` (z/y hats) and
-    ``hx [BIN, WX*CPAD]`` (the x hat expanded over the folded x*channel
-    lane layout).  The full trilinear stencil is their outer product —
-    never materialized: the splat matmul contracts samples directly,
-    ``st_zy^T @ (hx * vals_rep)``, so MXU output tiles scale with CPAD
-    (80) instead of a full 128-lane tile, and the z/y stencil build is
-    ~16x fewer VPU elements than the fused 3-axis stencil."""
-    yr = (zy_iota % geo.WY).astype(jnp.float32)
-    hy = jnp.maximum(
-        0.0, 1.0 - jnp.abs(yr + (by + dy).astype(jnp.float32) - fy)
-    )
-    if geo.WZ > 1:
-        zr = (zy_iota // geo.WY).astype(jnp.float32)
-        hz = jnp.maximum(
-            0.0, 1.0 - jnp.abs(zr + (bz + dz).astype(jnp.float32) - fz)
-        )
-        st_zy = hz * hy
-    else:
-        st_zy = hy
-    x_of_l = (xl_iota // geo.CPAD).astype(jnp.float32)
-    hx = jnp.maximum(
-        0.0, 1.0 - jnp.abs(x_of_l + dx.astype(jnp.float32) - fx)
-    )
-    return st_zy, hx
-
-
-def _rep_vals(geo: _SortedGeo, vals_q):
-    """Replicate a bin's value rows over the WX window positions of the
-    folded lane layout (``[BIN, CPAD] -> [BIN, WX*CPAD]``)."""
-    if rp.INTERPRET:
-        return jnp.concatenate([vals_q] * geo.WX, axis=1)
-    return pltpu.repeat(vals_q, geo.WX, axis=1)
+def _win_iotas(geo):
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, geo.wcells), 1)
+    rz = (li // (geo.WY * geo.WX)).astype(jnp.float32)
+    ry = ((li // geo.WX) % geo.WY).astype(jnp.float32)
+    rx = (li % geo.WX).astype(jnp.float32)
+    return rz, ry, rx
 
 
 def _build_fw_kernel(geo: _SortedGeo):
     BZ, BY = geo.BZ, geo.BY
     WZ, WY, WX = geo.WZ, geo.WY, geo.WX
-    CPAD = geo.CPAD
-    L = WX * CPAD
 
     def kernel(tab_ref, fzT_ref, fyT_ref, fxT_ref, vals_ref,
                _grid_in, grid_out, scratch, sem):
@@ -644,8 +554,7 @@ def _build_fw_kernel(geo: _SortedGeo):
             # Slabs run in sorted order on one core, so this is race-free.
             cp = pltpu.make_async_copy(
                 grid_out.at[
-                    pl.ds(bz, BZ),
-                    pl.ds(pl.multiple_of(by, 8), BY), slice(None),
+                    pl.ds(bz, BZ), pl.ds(by, BY), slice(None), slice(None)
                 ],
                 scratch, sem,
             )
@@ -657,10 +566,7 @@ def _build_fw_kernel(geo: _SortedGeo):
         # only this scalar branch
         @pl.when(tab_ref[r, 4] == 1)
         def _():
-            zy_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (1, WZ * WY), 1
-            )
-            xl_iota = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+            iot = _win_iotas(geo)
             for q in range(GBINS):
                 fz = fzT_ref[:, q:q + 1]
                 fy = fyT_ref[:, q:q + 1]
@@ -668,31 +574,26 @@ def _build_fw_kernel(geo: _SortedGeo):
                 dz = tab_ref[r, 5 + q]
                 dy = tab_ref[r, 5 + GBINS + q]
                 dx = tab_ref[r, 5 + 2 * GBINS + q]
-                st_zy, hx = _zy_hx(
-                    geo, fz, fy, fx, bz, by, dz, dy, dx, zy_iota, xl_iota
-                )
-                # vals rows carry the splat values in lanes [0, CPAD)
-                # (zero beyond C1; the plan's merged value+geometry rows
-                # are sliced statically here)
-                vx = hx * _rep_vals(
-                    geo, vals_ref[q * BIN:(q + 1) * BIN, 0:CPAD]
-                )
+                st = _stencil_bin(geo, fz, fy, fx, bz + dz, by + dy, dx,
+                                  iot)
+                # vals arrive pre-padded to CPAD lanes (zero beyond C1):
+                # the matmul output drops straight into the scratch window
+                # with no per-bin lane pad/relayout.
                 upd = jax.lax.dot_general(
-                    st_zy, vx, (((0,), (0,)), ((), ())),
+                    st, vals_ref[q * BIN:(q + 1) * BIN, :],
+                    (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )                                      # [WZ*WY, L]
+                )                                      # [wcells, CPAD]
                 scratch[
-                    pl.ds(dz, WZ), pl.ds(pl.multiple_of(dy, 8), WY),
-                    pl.ds(pl.multiple_of(dx * CPAD, 128), L),
-                ] += upd.reshape(WZ, WY, L)
+                    pl.ds(dz, WZ), pl.ds(dy, WY), pl.ds(dx, WX), :
+                ] += upd.reshape(WZ, WY, WX, CPAD)
 
         @pl.when(tab_ref[r, 3] == 1)
         def _():
             cp = pltpu.make_async_copy(
                 scratch,
                 grid_out.at[
-                    pl.ds(bz, BZ),
-                    pl.ds(pl.multiple_of(by, 8), BY), slice(None),
+                    pl.ds(bz, BZ), pl.ds(by, BY), slice(None), slice(None)
                 ],
                 sem,
             )
@@ -705,8 +606,6 @@ def _build_fw_kernel(geo: _SortedGeo):
 def _build_bw_kernel(geo: _SortedGeo):
     BZ, BY = geo.BZ, geo.BY
     WZ, WY, WX = geo.WZ, geo.WY, geo.WX
-    CPAD = geo.CPAD
-    L = WX * CPAD
 
     def kernel(tab_ref, fzT_ref, fyT_ref, fxT_ref, ggrid_hbm,
                out_ref, scratch, sem):
@@ -719,8 +618,7 @@ def _build_bw_kernel(geo: _SortedGeo):
         def _():
             cp = pltpu.make_async_copy(
                 ggrid_hbm.at[
-                    pl.ds(bz, BZ),
-                    pl.ds(pl.multiple_of(by, 8), BY), slice(None),
+                    pl.ds(bz, BZ), pl.ds(by, BY), slice(None), slice(None)
                 ],
                 scratch, sem,
             )
@@ -732,10 +630,7 @@ def _build_bw_kernel(geo: _SortedGeo):
         # row), so their output block may stay unwritten
         @pl.when(tab_ref[r, 4] == 1)
         def _():
-            zy_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (1, WZ * WY), 1
-            )
-            xl_iota = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+            iot = _win_iotas(geo)
             for q in range(GBINS):
                 fz = fzT_ref[:, q:q + 1]
                 fy = fyT_ref[:, q:q + 1]
@@ -743,48 +638,35 @@ def _build_bw_kernel(geo: _SortedGeo):
                 dz = tab_ref[r, 5 + q]
                 dy = tab_ref[r, 5 + GBINS + q]
                 dx = tab_ref[r, 5 + 2 * GBINS + q]
-                st_zy, hx = _zy_hx(
-                    geo, fz, fy, fx, bz, by, dz, dy, dx, zy_iota, xl_iota
-                )
+                st = _stencil_bin(geo, fz, fy, fx, bz + dz, by + dy, dx,
+                                  iot)
                 win = scratch[
-                    pl.ds(dz, WZ), pl.ds(pl.multiple_of(dy, 8), WY),
-                    pl.ds(pl.multiple_of(dx * CPAD, 128), L),
-                ].reshape(WZ * WY, L)
-                # factored adjoint: gather the z/y-contracted window rows
-                # per sample, weight by the expanded x hat, and fold the
-                # WX periods of the x*channel lanes back to CPAD channels.
-                # The first fold halves at L/2 — a 128-aligned slice
-                # boundary whenever WX*CPAD/2 is a tile multiple — so
-                # only the remaining WX/2 - 1 adds pay unaligned-slice
-                # relayouts.
-                tmp = hx * jnp.dot(
-                    st_zy, win, preferred_element_type=jnp.float32
-                )                                       # [BIN, L]
-                half = L // 2
-                if WX % 2 == 0 and half % 128 == 0:
-                    tmp = tmp[:, 0:half] + tmp[:, half:L]
-                    nx = WX // 2
-                else:
-                    nx = WX
-                gq = tmp[:, 0:CPAD]
-                for xc in range(1, nx):
-                    gq = gq + tmp[:, xc * CPAD:(xc + 1) * CPAD]
-                out_ref[q * BIN:(q + 1) * BIN, 0:CPAD] = gq
+                    pl.ds(dz, WZ), pl.ds(dy, WY), pl.ds(dx, WX), :
+                ].reshape(geo.wcells, CPAD)
+                # keep all CPAD lanes (zeros beyond C): full-lane rows
+                # unsort ~3x faster than C-lane rows, and the lane slice
+                # is free after the per-ray step sum.
+                gq = jnp.dot(st, win, preferred_element_type=jnp.float32)
+                out_ref[q * BIN:(q + 1) * BIN, :] = gq
 
     return kernel
 
 
-def feat_augmented(splatting_feature, valid_mask):
-    """No-MLP splat values + the fused unit weight channel ``[R, C1]``
-    (fed to :func:`sorted_plan` as ``feat_aug`` for the merged
-    value+geometry slot gather)."""
-    return jnp.concatenate(
+def sorted_vals(geo: _SortedGeo, plan, splatting_feature, valid_mask):
+    """Padded per-slot value rows ``[Npad, CPAD]`` for one chunk."""
+    feat_aug = jnp.concatenate(
         [
             splatting_feature * valid_mask[:, None],
             valid_mask[:, None].astype(splatting_feature.dtype),
         ],
         axis=1,
-    ).astype(jnp.float32)
+    ).astype(jnp.float32)                                      # [R, C1]
+    # Pad channels to the 128-lane tile BEFORE the slot gather: full-lane
+    # rows gather ~3x faster than 65-lane rows on TPU, and the kernel then
+    # consumes CPAD-wide value rows with no per-bin pad.  One trailing
+    # zero row serves the pad-slot sentinel (ray index R).
+    feat_pad = jnp.pad(feat_aug, ((0, 1), (0, CPAD - geo.C1)))
+    return jnp.take(feat_pad, plan["ray_pad"], axis=0)         # [Npad, CPAD]
 
 
 def sorted_vals_sample(geo: _SortedGeo, plan, fused, valid_mask):
@@ -804,17 +686,14 @@ def sorted_vals_sample(geo: _SortedGeo, plan, fused, valid_mask):
     feat_aug = jnp.concatenate(
         [fused.astype(jnp.float32), v.astype(jnp.float32)], axis=1
     )                                                          # [N, C1]
-    # channel pad to a full lane tile (aligned rows gather faster and
-    # the blocked kernel input stays tile-shaped; lanes [0, CPAD) hold
-    # the values) + one trailing zero row for the pad-slot sentinel
-    cpv = -(-geo.CPAD // 128) * 128
-    feat_pad = jnp.pad(feat_aug, ((0, 1), (0, cpv - geo.C1)))
-    return jnp.take(feat_pad, plan["sample_pad"], axis=0)      # [Npad, cpv]
+    # channel pad to full lanes + one trailing zero row for the sentinel
+    feat_pad = jnp.pad(feat_aug, ((0, 1), (0, CPAD - geo.C1)))
+    return jnp.take(feat_pad, plan["sample_pad"], axis=0)      # [Npad, CPAD]
 
 
 def sorted_splat_acc(cfg, geo, plan, vals, acc):
-    """One chunk's sorted splat, read-modify-writing the folded padded
-    HBM accumulator ``acc [PZ, PY, PXp*CPAD]`` (aliased input->output).
+    """One chunk's sorted splat, read-modify-writing the padded HBM
+    accumulator ``acc [PZ, PY, PXp, CPAD]`` (aliased input->output).
 
     Threading the accumulator through chunk calls keeps one grid-sized
     buffer live for the whole ray set — the round-1 per-chunk zero grids +
@@ -822,7 +701,6 @@ def sorted_splat_acc(cfg, geo, plan, vals, acc):
     splatter benchmark config (16 GB v5e)."""
     BZ, BY = geo.BZ, geo.BY
     n_groups_cap = plan["fzT"].shape[0] // BIN
-    vw = vals.shape[1]          # CPAD, or the fused value+geom row width
 
     kernel = _build_fw_kernel(geo)
     smem = pl.BlockSpec((8, 128), lambda g: (g // 8, 0),
@@ -834,17 +712,16 @@ def sorted_splat_acc(cfg, geo, plan, vals, acc):
         grid=(n_groups_cap,),
         in_specs=[
             smem, coordT_spec, coordT_spec, coordT_spec,
-            pl.BlockSpec((GBINS * BIN, vw), lambda g: (g, 0),
+            pl.BlockSpec((GBINS * BIN, CPAD), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=_sds(
-            (geo.PZ, geo.PY, geo.LX), jnp.float32,
-            acc, vals, plan["fzT"],
+        out_shape=jax.ShapeDtypeStruct(
+            (geo.PZ, geo.PY, geo.PXp, CPAD), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((BZ, BY, geo.LX), jnp.float32),
+            pltpu.VMEM((BZ, BY, geo.PXp, CPAD), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={5: 0},
@@ -855,11 +732,9 @@ def sorted_splat_acc(cfg, geo, plan, vals, acc):
 
 
 def crop_acc(geo: _SortedGeo, acc):
-    """Slice the folded padded kernel-frame accumulator
-    ``[PZ, PY, PXp*CPAD]`` into flat grid-frame ``(feat [V, C],
-    w [V, 1])`` (un-permuting plane axes, dropping batch halo planes)."""
-    CPAD = geo.CPAD
-    acc = acc.reshape(geo.PZ, geo.PY, geo.PXp, CPAD)
+    """Slice the padded kernel-frame accumulator into flat grid-frame
+    ``(feat [V, C], w [V, 1])`` (un-permuting plane axes, dropping batch
+    halo planes)."""
     if geo.B > 1:
         core = acc[: geo.B * geo.zstride].reshape(
             geo.B, geo.zstride, geo.PY, geo.PXp, CPAD
@@ -877,9 +752,8 @@ def crop_acc(geo: _SortedGeo, acc):
 
 def pad_grad_grid(geo: _SortedGeo, g_feat_grid):
     """Pad the flat grid-frame incoming gradient ``[V, C]`` to the
-    kernel's folded ``[PZ, PY, PXp*CPAD]`` box layout (done once per
-    backward, shared by every ray chunk)."""
-    CPAD = geo.CPAD
+    kernel's ``[PZ, PY, PXp, CPAD]`` box layout (done once per backward,
+    shared by every ray chunk)."""
     gg = g_feat_grid.reshape(geo.B, geo.gD, geo.gH, geo.gW, geo.C)
     gg = jnp.pad(gg, ((0, 0),) * 4 + ((0, CPAD - geo.C),))
     # grid frame -> kernel frame (pure reshape; see crop_acc)
@@ -889,21 +763,19 @@ def pad_grad_grid(geo: _SortedGeo, g_feat_grid):
             gg, ((0, 0), (0, 1), (0, geo.PY - geo.Hk),
                  (0, geo.PXp - geo.Wk), (0, 0)),
         ).reshape(geo.B * geo.zstride, geo.PY, geo.PXp, CPAD)
-        gg = jnp.pad(gg, ((0, geo.PZ - geo.B * geo.zstride), (0, 0),
-                          (0, 0), (0, 0)))
-        return gg.reshape(geo.PZ, geo.PY, geo.LX)
-    gg = jnp.pad(
+        return jnp.pad(gg, ((0, geo.PZ - geo.B * geo.zstride), (0, 0),
+                            (0, 0), (0, 0)))
+    return jnp.pad(
         gg[0],
         ((0, geo.PZ - geo.Dz), (0, geo.PY - geo.Hk),
          (0, geo.PXp - geo.Wk), (0, 0)),
     )
-    return gg.reshape(geo.PZ, geo.PY, geo.LX)
 
 
 def sorted_splat_bwd(cfg, geo, plan, R, gg, per_sample: bool = False):
-    """Adjoint gather: per-sample grads from the folded padded gradient
-    grid ``gg [PZ, PY, PXp*CPAD]`` (see :func:`pad_grad_grid`), un-sorted
-    and summed over march steps -> ``g_encoding [R, C]``.
+    """Adjoint gather: per-sample grads from the padded gradient grid
+    ``gg [PZ, PY, PXp, CPAD]`` (see :func:`pad_grad_grid`), un-sorted and
+    summed over march steps -> ``g_encoding [R, C]``.
 
     With ``per_sample=True`` the un-sorted ``[R*S, C]`` stream is returned
     before the ray sum — the MLP splatter's backward uses it as the
@@ -911,10 +783,6 @@ def sorted_splat_bwd(cfg, geo, plan, R, gg, per_sample: bool = False):
     ``templates/splatter_bw.py:183-394`` semantics)."""
     S = cfg.tot_num_samples
     BZ, BY = geo.BZ, geo.BY
-    CPAD = geo.CPAD
-    # stream rows padded to a full lane tile (Mosaic blocked-output lane
-    # rule); lanes beyond CPAD are never written and sliced away below
-    CPADP = -(-CPAD // 128) * 128
     n_groups_cap = plan["fzT"].shape[0] // BIN
     Npad = n_groups_cap * GBINS * BIN
 
@@ -930,11 +798,11 @@ def sorted_splat_bwd(cfg, geo, plan, R, gg, per_sample: bool = False):
             smem, coordT_spec, coordT_spec, coordT_spec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((GBINS * BIN, CPADP), lambda g: (g, 0),
+        out_specs=pl.BlockSpec((GBINS * BIN, CPAD), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=_sds((Npad, CPADP), jnp.float32, gg, plan["fzT"]),
+        out_shape=jax.ShapeDtypeStruct((Npad, CPAD), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((BZ, BY, geo.LX), jnp.float32),
+            pltpu.VMEM((BZ, BY, geo.PXp, CPAD), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=rp._COMPILER_PARAMS,
@@ -943,11 +811,9 @@ def sorted_splat_bwd(cfg, geo, plan, R, gg, per_sample: bool = False):
 
     # dead samples carry slot == Npad -> the appended zero row
     g_stream = jnp.concatenate(
-        [g_stream, jnp.zeros((1, CPADP), g_stream.dtype)], axis=0
+        [g_stream, jnp.zeros((1, CPAD), g_stream.dtype)], axis=0
     )
-    g_sample = jnp.take(g_stream, plan["pos_orig"], axis=0)    # [N, CPADP]
+    g_sample = jnp.take(g_stream, plan["pos_orig"], axis=0)    # [N, CPAD]
     if per_sample:
         return g_sample[:, : geo.C]                            # [R*S, C]
-    # lanes [CPAD, CPADP) of skipped-group blocks are uninitialized; they
-    # are summed here but sliced away before any consumer sees them
-    return g_sample.reshape(R, S, CPADP).sum(axis=1)[:, : geo.C]
+    return g_sample.reshape(R, S, CPAD).sum(axis=1)[:, : geo.C]

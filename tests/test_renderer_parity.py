@@ -219,3 +219,42 @@ def test_renderer_parity(variant):
         )
         for name, a, b in zip(names, g_naive, g_fused):
             compare_one(a, b, f"v{variant}/s{seed}/grad_{name}")
+
+
+def test_renderer_image_size_reorder():
+    """``image_size=(h, w)`` on the FUNCTIONAL renderer must return
+    raster-order outputs identical to a plain call on the same raster
+    rays: the internal tile reorder + inverse scatter is a pure
+    permutation (round 4 — the module's fast path lifted down so
+    raster-order functional callers get the packed 2D-window kernels)."""
+    import dataclasses as _dc
+
+    import lightplane_tpu as lt
+
+    h, w = 16, 24
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    dp = random_decoder_params(k1, input_chn=8, hidden_chn=8)
+    grid = random_grid(k2, 1, 8, 6, "voxel", scale=0.5)
+    n = h * w
+    ys, xs = jnp.meshgrid(
+        jnp.linspace(-0.4, 0.4, h), jnp.linspace(-0.4, 0.4, w),
+        indexing="ij",
+    )
+    rays = lt.Rays(
+        directions=jnp.stack(
+            [xs.ravel(), ys.ravel(), jnp.ones(n)], axis=-1
+        ),
+        origins=jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (n, 1)),
+        grid_idx=jnp.zeros((n,), jnp.int32),
+        near=jnp.full((n,), 1.0),
+        far=jnp.full((n,), 3.0),
+        encoding=jax.random.normal(k3, (n, dp.n_hidden_color[0])) * 0.1,
+    )
+    kw = dict(num_samples=8, gain=1.0, impl="scan")
+    ref = lightplane_renderer(rays, grid, dp, **kw)
+    out = lightplane_renderer(rays, grid, dp, image_size=(h, w), **kw)
+    for nm, a, b in zip(["depth", "nlt", "feat"], ref, out):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=nm
+        )

@@ -25,11 +25,16 @@ from lightplane_tpu.ops.splatter import _SplatCfg, lightplane_splatter_raw
 from lightplane_tpu.ops.kernels import splatter_sorted as ss
 
 
-def _reconstruct_from_plan(geo, plan, feat_aug):
+def _reconstruct_from_plan(geo, plan, feat_aug, S):
     """Numpy mimic of the fw kernel's table-driven accumulation."""
     fzT, fyT, fxT = plan["fzT"], plan["fyT"], plan["fxT"]
-    table, ray_pad = plan["table"], plan["ray_pad"]
-    # ray index R is the pad-slot zero sentinel (see sorted_vals)
+    table = plan["table"]
+    R = feat_aug.shape[0]
+    # per-slot ray id from the slot->sample map (sample N sentinel ->
+    # row R, the appended zero pad row — mirrors sorted_plan's merged
+    # value gather)
+    sample_pad = np.asarray(plan["sample_pad"])
+    ray_pad = np.minimum(sample_pad // S, R)
     feat_aug = np.concatenate(
         [feat_aug, np.zeros((1, feat_aug.shape[1]), feat_aug.dtype)]
     )
@@ -118,7 +123,7 @@ def test_sorted_plan_reconstruction(R, gs, ns, moob, contract):
     plan = {k: np.asarray(v) for k, v in plan.items()}
 
     feat_aug = np.concatenate([enc, np.ones((R, 1), np.float32)], axis=1)
-    grid = _reconstruct_from_plan(geo, plan, feat_aug)
+    grid = _reconstruct_from_plan(geo, plan, feat_aug, ns)
     # padding rows (z >= D etc.) must only hold the +1 halo of border cells,
     # which the kernel's crop discards; real-cell content lives in the core
     feat_np, w_np = _crop_np(geo, grid)
@@ -160,11 +165,12 @@ def test_sorted_plan_slot_inverse():
     (geo,) = ss.sorted_geos(cfg)
     plan = jax.jit(lambda g: ss.sorted_plan(cfg, geo, g))(geom)
     pos = np.asarray(plan["pos_orig"])
-    Npad = plan["ray_pad"].shape[0]
+    Npad = plan["sample_pad"].shape[0]
     live = pos < Npad  # zero-stencil (out-of-volume) samples map to Npad
     assert live.sum() > 0
     assert len(np.unique(pos[live])) == live.sum()  # injective on live
-    ray_pad = np.asarray(plan["ray_pad"])
+    sample_pad = np.asarray(plan["sample_pad"])
+    ray_pad = np.minimum(sample_pad // ns, R)
     # the slot each live sample landed in must carry that sample's ray
     want = np.repeat(np.arange(R), ns)
     np.testing.assert_array_equal(ray_pad[pos[live]], want[live])
