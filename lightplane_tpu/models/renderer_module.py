@@ -385,6 +385,22 @@ class LightplaneRenderer(nn.Module):
                 f"({n_rays} != {h * w})"
             )
             tile = default_tile(h, w)
+            # beyond-VMEM grids run the W3 boxed-DMA kernels, whose ray
+            # blocks are sized for compact square-ish pixel tiles — use
+            # the W3 tile when it divides the image
+            from lightplane_tpu.ops.kernels.renderer_pallas import (
+                MAX_CELLS_PER_GRID,
+            )
+
+            if any(
+                int(np.prod(g.shape[:-1])) > MAX_CELLS_PER_GRID
+                for g in (list(feature_grid)
+                          + list(color_feature_grid or []))
+            ):
+                from lightplane_tpu.ops.kernels.renderer_w3 import W3_TILE
+
+                if h % W3_TILE[0] == 0 and w % W3_TILE[1] == 0:
+                    tile = W3_TILE
             order_np, inv_np = tile_ray_order(h, w, tile=tile)
             if not np.array_equal(order_np, np.arange(n_rays)):
                 inv = jnp.asarray(inv_np)

@@ -541,8 +541,10 @@ def _make_samplers(cfg, infos, iotas_list, pts_ks, gsel, cdt, w0s=None):
 def _sample_samplers(samplers, ref, mask_m):
     """``mask_m``: [M, 1] OOB mask (or None) built once per chunk."""
     if "nosample" in ABLATE:
-        M = samplers[0].pts_ks[0].shape[0] * len(samplers[0].pts_ks)
-        return jnp.full((M, ref.shape[1]), 0.1, jnp.float32)
+        s0 = samplers[0]
+        M = s0.pts_ks[0].shape[0] * len(s0.pts_ks)
+        C = s0.geo.C if hasattr(s0, "geo") else ref.shape[1]
+        return jnp.full((M, C), 0.1, jnp.float32)
     out = None
     for s in samplers:
         smp = s.sample(ref)

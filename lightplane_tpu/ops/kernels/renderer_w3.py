@@ -50,17 +50,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Window extents (cells).  z starts are unaligned (untiled leading dim);
 # y starts are 8-aligned (sublane tiling), so WY covers span + 7 slack;
-# x starts are (128/C)-aligned lane offsets.  With 8x8-pixel ray tiles
-# (RAY_BLOCK_W3 rays) these budgets hold every orbit-style camera pose of
-# the benchmark configs at 64^3 with ~40% margin (measured per-axis block
-# spans <= 4.9 cells at 256^2 x 256 samples); the runtime fit flag guards
-# the rest.
+# x starts are (128/C)-aligned lane offsets.  Round-4 defaults
+# (256-ray blocks = 16x16-pixel tiles, Z16/Y24/WX16 budgets) were picked
+# by an on-chip sweep at the 64^3 x 32ch / 256^2 / 256-sample benchmark:
+# they fit ALL 120 orbit poses (5 elevations x 24 azimuths,
+# scratch/probe_w3_fit.py) and run 306k rays/s fwd+bwd — 1.9x the old
+# 64-ray/8x8 defaults (164k).  Tighter budgets are faster still (Z12/Y16/
+# WX12 reaches 428k) but fit only 48/120 poses; the env overrides below
+# let a deployment with a constrained camera rig choose them.  The
+# runtime fit flag guards correctness either way.
 import os as _os
 
-W3_Z = int(_os.environ.get("LT_W3_Z", "8"))
-W3_Y = int(_os.environ.get("LT_W3_Y", "16"))
-RAY_BLOCK_W3 = int(_os.environ.get("LT_W3_BLOCK", "64"))
-W3_WX_MIN = int(_os.environ.get("LT_W3_WX", "12"))
+W3_Z = int(_os.environ.get("LT_W3_Z", "16"))
+W3_Y = int(_os.environ.get("LT_W3_Y", "24"))
+RAY_BLOCK_W3 = int(_os.environ.get("LT_W3_BLOCK", "256"))
+W3_WX_MIN = int(_os.environ.get("LT_W3_WX", "16"))
 
 
 def _w3_tile(block):
@@ -361,6 +365,7 @@ class _W3Sampler:
         self.fz = fz   # None: collapsed singleton axis (hz == 1)
         self._st_zy = None
         self._hx = None
+        self._hxe = None
         self._waited = False
 
         def box_slice(ref):
@@ -412,15 +417,62 @@ class _W3Sampler:
             ]                                           # WX x [M, 1]
         return self._hx
 
+    def _hx_expanded(self):
+        """x hat expanded over the folded ``WX*C`` lane layout (lane l
+        belongs to window x-cell ``l // C``) — one iota expression
+        instead of WX per-column lane slices.  Usable when C divides the
+        128-lane tile so tile-aligned folds respect x-cell boundaries."""
+        if self._hxe is None:
+            geo = self.geo
+            li = jax.lax.broadcasted_iota(
+                jnp.int32, (1, geo.WX * geo.C), 1
+            )
+            x_of_l = (li // geo.C).astype(jnp.float32)
+            self._hxe = jnp.maximum(
+                0.0,
+                1.0 - jnp.abs(x_of_l + self.w0x.astype(jnp.float32)
+                              - self.fx),
+            )                                           # [M, WX*C]
+        return self._hxe
+
+    def _fold_x(self, t):
+        """Contract the folded x axis: ``[M, WX*C] -> [M, C]`` by
+        summing lanes congruent mod C.  Full 128-lane tiles fold with
+        ALIGNED adds (legal because 128 % C == 0 keeps whole x-cells per
+        tile); the final tile folds with 128//C - 1 narrow adds."""
+        geo = self.geo
+        L = geo.WX * geo.C
+        nt = L // 128
+        acc = t[:, 0:128]
+        for k in range(1, nt):
+            acc = acc + t[:, k * 128:(k + 1) * 128]
+        out = acc[:, 0:geo.C]
+        for j in range(1, 128 // geo.C):
+            out = out + acc[:, j * geo.C:(j + 1) * geo.C]
+        return out
+
+    def _use_folded_x(self):
+        geo = self.geo
+        return 128 % geo.C == 0 and (geo.WX * geo.C) % 128 == 0
+
     def sample(self, ref):
         del ref  # the HBM ref was bound at construction (DMA in flight)
+        from .renderer_pallas import ABLATE
+
         geo = self.geo
         if not self._waited:
             self._dma.wait()
             self._waited = True
+        M = self.pts_ks[0].shape[0] * len(self.pts_ks)
+        if "nostencil" in ABLATE:   # DMA waited; skip zy matmul + x fold
+            return jnp.full((M, geo.C), 0.1, jnp.float32)
         g_win = self.box_ref[...].reshape(geo.zy, geo.WX * geo.C)
         s1 = jnp.dot(self._stencil_zy(), g_win,
                      preferred_element_type=jnp.float32)  # [M, WX*C]
+        if "noxfold" in ABLATE:     # zy matmul kept; skip x contraction
+            return s1[:, 0:geo.C]
+        if self._use_folded_x():
+            return self._fold_x(self._hx_expanded() * s1)  # [M, C]
         hx = self._hx_cols()
         out = None
         for xc in range(geo.WX):
@@ -428,7 +480,19 @@ class _W3Sampler:
             out = t if out is None else out + t
         return out                                       # [M, C]
 
+    def _rep(self, dval):
+        """Lane-replicate [M, C] -> [M, WX*C] (interpret-safe)."""
+        from .renderer_pallas import INTERPRET
+
+        if INTERPRET:
+            return jnp.concatenate([dval] * self.geo.WX, axis=1)
+        return pltpu.repeat(dval, self.geo.WX, axis=1)
+
     def _s1_grad(self, dval):
+        if self._use_folded_x():
+            # adjoint of the folded-x contraction: expand the cotangent
+            # over the lane layout and weight by the expanded x hat
+            return self._hx_expanded() * self._rep(dval)
         hx = self._hx_cols()
         return jnp.concatenate(
             [hx[xc] * dval for xc in range(self.geo.WX)], axis=1
@@ -466,6 +530,9 @@ class _W3Sampler:
         self._rmw(upd)
 
     def _s1g_piece(self, dq, q, Mq):
+        if self._use_folded_x():
+            return self._hx_expanded()[q * Mq:(q + 1) * Mq] \
+                * self._rep(dq)
         hx = self._hx_cols()
         return jnp.concatenate(
             [hx[xc][q * Mq:(q + 1) * Mq] * dq

@@ -579,6 +579,19 @@ def lightplane_renderer(
                 f"({R} != {h * w})"
             )
         tile = default_tile(h, w)
+        # beyond-VMEM grids run the W3 boxed-DMA kernels, whose ray
+        # blocks are sized for compact square-ish pixel tiles
+        from .kernels.renderer_pallas import MAX_CELLS_PER_GRID
+
+        all_sizes = list(grid_sizes) + list(color_grid_sizes or ())
+        if any(
+            int(np.prod(gs[:-1])) > MAX_CELLS_PER_GRID
+            for gs in all_sizes
+        ):
+            from .kernels.renderer_w3 import W3_TILE
+
+            if h % W3_TILE[0] == 0 and w % W3_TILE[1] == 0:
+                tile = W3_TILE
         order_np, inv_np = tile_ray_order(h, w, tile=tile)
         if not np.array_equal(order_np, np.arange(R)):
             rays = rays[jnp.asarray(order_np)]

@@ -38,5 +38,6 @@ def run(tag, ablate):
     dt = ((t2 - t1) - (t1 - t0)) / 6
     print(f"{tag}: {dt*1e3:.1f} ms fw", flush=True)
 
-run("nosample", ["nosample"])
-run("nosample+nomlp+noea", ["nosample", "nomlp", "noea"])
+run("nostencil", ["nostencil"])
+run("noxfold", ["noxfold"])
+run("nostencil+nomlp+noea", ["nostencil", "nomlp", "noea"])
