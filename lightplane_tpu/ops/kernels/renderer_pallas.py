@@ -186,31 +186,52 @@ def _scaffold_gate_base(cfg, geom, R_pad):
         scaffold_flat, (cfg.scaffold_size + (1,),), pts, grid_idx,
         True, mode="nearest",
     )[..., 0]                                    # [R, S]
-    gate = jnp.pad(gate, ((0, R_pad - R), (0, (-S) % 128)), mode="edge")
-    # occupancy is 0/1: int8 storage quarters the O(rays * samples)
-    # buffer; kernels re-widen per chunk (one cheap VPU convert)
-    return gate.astype(jnp.int8)                 # [R_pad, S_pad128]
+    # occupancy is 0/1: BITPACK 8 steps per byte (round 4) — the
+    # O(rays * samples) term shrinks to 1 bit/sample (a 1024^2 x 256
+    # render's gate is 33.5 MB instead of 270 MB int8); kernels unpack
+    # the chunk's bits from byte columns with exact f32 shift math
+    S8 = -(-S // 8) * 8
+    gate = jnp.pad(gate, ((0, R_pad - R), (0, S8 - S)), mode="edge")
+    bits = (gate.reshape(R_pad, S8 // 8, 8) > 0.5).astype(jnp.int32)
+    w = (1 << jnp.arange(8, dtype=jnp.int32))[None, None, :]
+    packed = jnp.sum(bits * w, axis=-1).astype(jnp.uint8)
+    return jnp.pad(
+        packed, ((0, 0), (0, (-packed.shape[1]) % 128))
+    )                                            # [R_pad, SB_pad128] u8
 
 
 def _chunk_gates(gate_ref, ci, K, S, bw):
     """The chunk's K per-step [B, 1] gate columns.
 
-    The gate block is rays-major ``[B, S_pad]``; a dynamic lane slice
-    would violate the 128-lane tiling, so the K columns are selected with
-    a tiny one-hot matmul (``[B, S_pad] @ [S_pad, K]``) instead.  Out-of-
-    range steps (padded chunks) select nothing -> gate 0, consistent with
-    the kernels' valid-masking.
+    The gate block is rays-major BITPACKED ``[B, SB]`` bytes (8 steps
+    per byte); a dynamic lane slice would violate the 128-lane tiling,
+    so the chunk's K byte columns are selected with a tiny one-hot
+    matmul (``[B, SB] @ [SB, K]``), then each step's bit is extracted
+    with exact f32 floor/shift arithmetic (byte values <= 255; ``ci``
+    and ``k`` are trace-time constants, so the bit positions are
+    static).  Out-of-range steps (padded chunks) may select padding
+    bytes — harmless, the kernels' valid-masking zeroes those steps.
     """
     if gate_ref is None:
         return None
-    gb = gate_ref[:].astype(jnp.float32)
-    S_pad = gb.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (S_pad, K), 0)
-    ks = jax.lax.broadcasted_iota(jnp.int32, (S_pad, K), 1)
-    s_of_k = (S - 1 - ci * K - ks) if bw else (ci * K + ks)
-    sel = (rows == s_of_k).astype(jnp.float32)
-    cols = jnp.dot(gb, sel, preferred_element_type=jnp.float32)  # [B, K]
-    return [cols[:, k: k + 1] for k in range(K)]
+    gb = gate_ref[:].astype(jnp.float32)         # bytes as f32 (0..255)
+    SB = gb.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SB, K), 0)
+    ks_i = jnp.arange(K, dtype=jnp.int32)
+    s_of_k = (S - 1 - ci * K - ks_i) if bw else (ci * K + ks_i)  # [K]
+    # steps outside [0, S) (padded chunks) select no byte -> gate 0,
+    # matching the pre-bitpack behaviour (``ci`` may be traced: all
+    # byte/bit math stays in lax ops; /2^j is exact in f32)
+    valid = (s_of_k >= 0) & (s_of_k < S)
+    byte_of_k = jnp.where(valid, s_of_k // 8, -1)[None, :]
+    sel = (rows == byte_of_k).astype(jnp.float32)
+    colsb = jnp.dot(gb, sel, preferred_element_type=jnp.float32)  # [B, K]
+    j = jnp.where(valid, s_of_k % 8, 0)
+    p1 = jax.lax.shift_left(jnp.full((K,), 1, jnp.int32), j).astype(
+        jnp.float32
+    )[None, :]
+    bits = jnp.floor(colsb / p1) - 2.0 * jnp.floor(colsb / (2.0 * p1))
+    return [bits[:, k: k + 1] for k in range(K)]
 
 
 def _scaffold_chunk_skip(gates, w3, carry, chunk_fn):
