@@ -149,6 +149,15 @@ def pallas_renderer_supported(cfg) -> bool:
     return rw3.w3_supported(cfg)
 
 
+def _w3_no_fallback() -> bool:
+    """``LIGHTPLANE_W3_NO_FALLBACK=1``: skip the W3 kernels' scan-
+    fallback ``lax.cond`` (see the call sites for the memory rationale;
+    read per call so tests can toggle it)."""
+    import os
+
+    return os.environ.get("LIGHTPLANE_W3_NO_FALLBACK", "0") == "1"
+
+
 def _w3_mode(cfg) -> bool:
     all_sizes = list(cfg.grid_sizes) + list(cfg.color_grid_sizes or ())
     return any(
@@ -182,10 +191,22 @@ def _scaffold_gate_base(cfg, geom, R_pad):
     pts = origins[:, None, :] + t[..., None] * directions[:, None, :]
     if cfg.contract_coords:
         pts = _contract_pi(pts)
-    gate = sample_grid_rep(
-        scaffold_flat, (cfg.scaffold_size + (1,),), pts, grid_idx,
-        True, mode="nearest",
-    )[..., 0]                                    # [R, S]
+    # SCALAR nearest gather (same rows/weights as sample_grid_rep's
+    # nearest mode, but taking from the squeezed [V] vector): scalar
+    # gathers from small tables fuse into the surrounding elementwise
+    # fusion on TPU, while the generic [., 1]-row gather is a ~120 ms
+    # standalone op at 256^2 x 256 samples (see scratch/PERF_NOTES.md)
+    from ..grid_sample import _corner_rows_and_weights
+    from ..misc_utils import is_in_bounds
+
+    bidx = jnp.broadcast_to(
+        grid_idx.astype(jnp.int32)[:, None], pts.shape[:-1]
+    )
+    rows, w = _corner_rows_and_weights(
+        cfg.scaffold_size + (1,), pts, bidx, "nearest"
+    )
+    gate = jnp.take(scaffold_flat[:, 0], rows[..., 0]) * w[..., 0]
+    gate = gate * is_in_bounds(pts)[..., 0].astype(gate.dtype)  # [R, S]
     # occupancy is 0/1: BITPACK 8 steps per byte (round 4) — the
     # O(rays * samples) term shrinks to 1 bit/sample (a 1024^2 x 256
     # render's gate is 33.5 MB instead of 270 MB int8); kernels unpack
@@ -194,10 +215,12 @@ def _scaffold_gate_base(cfg, geom, R_pad):
     gate = jnp.pad(gate, ((0, R_pad - R), (0, S8 - S)), mode="edge")
     bits = (gate.reshape(R_pad, S8 // 8, 8) > 0.5).astype(jnp.int32)
     w = (1 << jnp.arange(8, dtype=jnp.int32))[None, None, :]
-    packed = jnp.sum(bits * w, axis=-1).astype(jnp.uint8)
+    # int8 storage (Mosaic lacks a uint8->f32 cast); byte values >= 128
+    # read back negative and the kernel re-biases them
+    packed = jnp.sum(bits * w, axis=-1).astype(jnp.int8)
     return jnp.pad(
         packed, ((0, 0), (0, (-packed.shape[1]) % 128))
-    )                                            # [R_pad, SB_pad128] u8
+    )                                            # [R_pad, SB_pad128] i8
 
 
 def _chunk_gates(gate_ref, ci, K, S, bw):
@@ -214,7 +237,8 @@ def _chunk_gates(gate_ref, ci, K, S, bw):
     """
     if gate_ref is None:
         return None
-    gb = gate_ref[:].astype(jnp.float32)         # bytes as f32 (0..255)
+    gb = gate_ref[:].astype(jnp.float32)         # signed bytes
+    gb = jnp.where(gb < 0.0, gb + 256.0, gb)     # -> 0..255 exactly
     SB = gb.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (SB, K), 0)
     ks_i = jnp.arange(K, dtype=jnp.int32)
@@ -2457,6 +2481,14 @@ def pallas_render_fwd(cfg, geom, diff):
             out, _nlt = _render_fwd_impl(cfg, geom, diff)
             return out
 
+        if _w3_no_fallback():
+            # trusted-fit mode: drop the scan fallback branch entirely —
+            # lax.cond keeps BOTH branches' buffers in the allocation
+            # plan, and the scan backward's per-step splat buffer is
+            # ~8 GB at megapixel ray counts.  Only for deployments whose
+            # camera rigs are known to fit the window plan (the fit flag
+            # is still computed; unfit rays would render window-clipped).
+            return call_w3()
         return jax.lax.cond(fits3, call_w3, call_scan)
 
     # in_specs layout: arrs(6) + seed + grids + mlps; the windowed variant
@@ -3267,6 +3299,14 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
             )
             return grads
 
+        if _w3_no_fallback():
+            # trusted-fit mode: drop the scan fallback branch entirely —
+            # lax.cond keeps BOTH branches' buffers in the allocation
+            # plan, and the scan backward's per-step splat buffer is
+            # ~8 GB at megapixel ray counts.  Only for deployments whose
+            # camera rigs are known to fit the window plan (the fit flag
+            # is still computed; unfit rays would render window-clipped).
+            return call_w3()
         return jax.lax.cond(fits3, call_w3, call_scan)
 
     def call_general():

@@ -52,7 +52,6 @@ rows, un-sorted outside with one gather and summed over steps per ray.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -70,7 +69,6 @@ OCT = 8
 BIN = 128                     # samples per stencil matmul
 GBINS = 32                    # bins per Pallas grid step
 CPAD_MAX = 128                # channel capability cap (one lane tile)
-_LANES = 128                  # physical VMEM lane tile (budget accounting)
 _BOX_BUDGET = 40 * 1024 * 1024   # VMEM bytes for the slab scratch
 _ACC_BUDGET = 6 * 1024 ** 3      # HBM bytes for all padded accumulators
 _BIG = 1.0e9                  # coord sentinel: zero hat weight everywhere
