@@ -2288,7 +2288,11 @@ def _ray_block(cfg):
     if _w3_mode(cfg):
         from .renderer_w3 import RAY_BLOCK_W3
 
-        return RAY_BLOCK_W3
+        # honour an explicit tile size (tile_rays) so callers with
+        # non-default pixel tiles get blocks matching ONE tile — a block
+        # spanning several tiles widens the frustum footprint and risks
+        # tripping the window-fit fallback
+        return getattr(cfg, "ray_block_rays", None) or RAY_BLOCK_W3
     K = _march_chunk(cfg)
     infos = grid_infos(cfg.grid_sizes)
     cinfos = (grid_infos(cfg.color_grid_sizes)
