@@ -22,6 +22,8 @@ sampling) typically reach 25-35%% of that -> ~5-7 TFLOP/s ->
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 # Persistent compilation cache: remote (tunnelled) TPU compiles are slow;
@@ -30,10 +32,128 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jaxcomp")
 )
 
-import jax
-import jax.numpy as jnp
+# ---------------------------------------------------------------------------
+# Un-hangable orchestration.
+#
+# Backend init through the axon tunnel can hang indefinitely when the relay
+# is down (observed round 4: `BENCH_r04.json` rc=1 after the driver's
+# capture, and a manual run hung >20 min at init with zero output).  A
+# no-arg run therefore NEVER touches jax in this process: it (1) probes the
+# backend with a tiny device op in a killable subprocess, with retries, and
+# (2) runs each metric as `python bench.py --metric <m>` under a hard
+# timeout, forwarding stdout.  On any failure it prints an error-JSON line
+# so the driver artifact is always parseable, and exits 0.
+#
+# jax / lightplane_tpu are imported lazily (inside the metric functions)
+# so that the orchestrator path stays import-safe even when the backend
+# registration itself would hang.
+# ---------------------------------------------------------------------------
 
-import lightplane_tpu as lt
+PROBE_TIMEOUT_S = 150  # one probe attempt (first-ever init can be slow)
+PROBE_ATTEMPTS = 3
+PROBE_BACKOFF_S = 20
+METRIC_TIMEOUT_S = 1800  # per-metric subprocess budget (cold compiles incl.)
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((8, 128));"
+    "print('PROBE_OK', float(x.sum()), jax.devices()[0].platform)"
+)
+
+
+def _tail(text, n=3):
+    lines = [l for l in (text or "").strip().splitlines() if l.strip()]
+    return " | ".join(lines[-n:])[-500:]
+
+
+def probe_backend():
+    """Return None if a tiny device op succeeds, else an error string."""
+    err = "no probe attempt ran"
+    for attempt in range(PROBE_ATTEMPTS):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                timeout=PROBE_TIMEOUT_S,
+                capture_output=True,
+                text=True,
+            )
+            if p.returncode == 0 and "PROBE_OK" in (p.stdout or ""):
+                return None
+            err = f"probe rc={p.returncode}: {_tail(p.stderr)}"
+        except subprocess.TimeoutExpired:
+            err = f"backend probe hung >{PROBE_TIMEOUT_S}s (killed)"
+        if attempt + 1 < PROBE_ATTEMPTS:
+            time.sleep(PROBE_BACKOFF_S * (attempt + 1))
+    return err
+
+
+def _error_json(metric, unit, error):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": 0.0,
+                "unit": unit,
+                "vs_baseline": 0.0,
+                "error": error[-500:],
+            }
+        )
+    )
+
+
+def run_metric_subprocess(name, metric_desc, unit):
+    """Run `python bench.py --metric <name>` bounded; forward its stdout.
+
+    Any rc!=0 / timeout / non-JSON output degrades to an error-JSON line.
+    """
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--metric", name],
+            timeout=METRIC_TIMEOUT_S,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        _error_json(metric_desc, unit, f"metric '{name}' timed out "
+                    f">{METRIC_TIMEOUT_S}s (killed)")
+        return False
+    emitted = False
+    for line in (p.stdout or "").splitlines():
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            print(line)
+            emitted = True
+    if p.returncode != 0 or not emitted:
+        _error_json(
+            metric_desc, unit,
+            f"metric '{name}' rc={p.returncode}: {_tail(p.stderr)}",
+        )
+        return False
+    return True
+
+
+def orchestrate():
+    err = probe_backend()
+    if err is not None:
+        # Parseable failure artifact: one line per headline metric, with
+        # the renderer line LAST (the driver reads the tail).
+        _error_json(
+            "fused splat fwd+bwd 16x128^2 rays, voxel 160^3x64ch, 96 "
+            "samples", "rays/s", f"backend unavailable: {err}")
+        _error_json(
+            "fused render fwd+bwd 256x256, triplane 32^2x32ch, 256 "
+            "samples", "rays/s", f"backend unavailable: {err}")
+        return
+    run_metric_subprocess(
+        "splatter",
+        "fused splat fwd+bwd 16x128^2 rays, voxel 160^3x64ch, 96 samples",
+        "rays/s",
+    )
+    run_metric_subprocess(
+        "renderer",
+        "fused render fwd+bwd 256x256, triplane 32^2x32ch, 256 samples",
+        "rays/s",
+    )
 
 BASELINE_RAYS_PER_SEC = 7.0e5  # estimated A100 Triton fwd+bwd (see above)
 
@@ -44,7 +164,17 @@ CHN = 32
 HIDDEN = 32
 
 
+def _jax_imports():
+    import jax
+    import jax.numpy as jnp
+
+    import lightplane_tpu as lt
+
+    return jax, jnp, lt
+
+
 def make_inputs(key):
+    jax, jnp, lt = _jax_imports()
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     dp = lt.init_decoder_params(
         k1, n_layers_opacity=2, n_layers_trunk=2, n_layers_color=2,
@@ -81,6 +211,7 @@ def make_inputs(key):
 
 
 def main():
+    jax, jnp, lt = _jax_imports()
     rays, grid, dp = make_inputs(jax.random.PRNGKey(0))
     n_rays = rays.directions.shape[0]
 
@@ -217,6 +348,8 @@ def main_memory():
 
     import numpy as np
 
+    jax, jnp, lt = _jax_imports()
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from benchmarks.renderer_speed import analysis_mem_mb
 
@@ -329,11 +462,12 @@ def main_memory():
 
 
 if __name__ == "__main__":
-    import sys
-
-    # No args: BOTH headline metrics (splatter first, renderer last) — the
-    # driver captures the plain `python bench.py` tail.  `--metric
-    # splatter` / `--metric renderer` / `--metric memory` select one.
+    # No args: orchestrated run — bounded backend probe, then BOTH headline
+    # metrics in bounded subprocesses (splatter first, renderer last; the
+    # driver captures the plain `python bench.py` tail).  Always prints
+    # parseable JSON and exits 0 even when the backend is unreachable.
+    # `--metric splatter` / `--metric renderer` / `--metric memory` run one
+    # metric directly in-process (no probe, no timeout).
     if "--metric" in sys.argv:
         if "splatter" in sys.argv:
             main_splatter()
@@ -342,5 +476,4 @@ if __name__ == "__main__":
         else:
             main()
     else:
-        main_splatter()
-        main()
+        orchestrate()
