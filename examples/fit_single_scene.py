@@ -170,7 +170,10 @@ def main(argv=None):
     args = parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
     print(f"[fit] loading dataset ({args.dataset_type})")
-    ds = auto_dataset(args.dataset_path, args.dataset_type)
+    # the patch/span samplers below assume one uniform H x W raster, so a
+    # CO3D load here opts out of the library default per-frame sizes
+    ds = auto_dataset(args.dataset_path, args.dataset_type,
+                      keep_frame_sizes=False)
     print(f"[fit] {ds.n_images} images {ds.height}x{ds.width},"
           f" near={ds.near:.2f} far={ds.far:.2f}")
 

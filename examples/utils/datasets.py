@@ -29,6 +29,14 @@ class RayDataset:
 
     Counterpart of the reference's ``Rays{origins, dirs, gt}`` batch
     dataclass (``dataloader/util.py:22-41``) + ``DatasetBase.gen_rays``.
+
+    ``frame_hw`` (``[n_images, 2]`` int) records per-frame image sizes for
+    loaders that keep each frame's native resolution (CO3D, matching the
+    reference's per-frame handling in ``dataloader/co3d_dataset.py:30-270``).
+    ``None`` means every frame is ``height x width``; when set,
+    ``height``/``width`` hold the FIRST frame's size and consumers that
+    need a uniform raster should either use :meth:`image` (per-frame
+    shapes) or load with a uniform-size option.
     """
 
     origins: np.ndarray     # [N, 3]
@@ -39,13 +47,27 @@ class RayDataset:
     height: int
     width: int
     n_images: int
+    frame_hw: Optional[np.ndarray] = None   # [n_images, 2] int, or None
+
+    def frame_offsets(self) -> np.ndarray:
+        """Start ray index of each image (length ``n_images + 1``)."""
+        if self.frame_hw is None:
+            hw = self.height * self.width
+            return np.arange(self.n_images + 1, dtype=np.int64) * hw
+        return np.concatenate(
+            [[0], np.cumsum(self.frame_hw.prod(axis=1).astype(np.int64))]
+        )
 
     def image(self, i: int):
-        hw = self.height * self.width
-        sl = slice(i * hw, (i + 1) * hw)
+        off = self.frame_offsets()
+        sl = slice(int(off[i]), int(off[i + 1]))
+        if self.frame_hw is None:
+            h, w = self.height, self.width
+        else:
+            h, w = (int(x) for x in self.frame_hw[i])
         return (
             self.origins[sl], self.directions[sl],
-            self.gt[sl].reshape(self.height, self.width, 3),
+            self.gt[sl].reshape(h, w, 3),
         )
 
 
@@ -266,6 +288,7 @@ def load_co3d(
     near: float = 0.1,
     far: float = 6.0,
     downsample: int = 1,
+    keep_frame_sizes: bool = True,
 ) -> RayDataset:
     """CO3D format: per-category ``frame_annotations.jgz`` with PyTorch3D
     viewpoints (reference ``dataloader/co3d_dataset.py:30-270``) — no
@@ -274,9 +297,15 @@ def load_co3d(
     directly, then normalized with :func:`similarity_from_cameras`.
 
     ``seq_id`` selects which sequence (sorted by category, then name).
-    All kept frames are resized to a common resolution (our
-    :class:`RayDataset` stores a single H x W; the reference keeps
-    per-frame sizes)."""
+
+    ``keep_frame_sizes=True`` (default, matching the reference's per-frame
+    handling): each frame keeps its native resolution, only down-scaled
+    aspect-preserving when its longest side exceeds ``max_image_dim``; the
+    per-frame sizes land in ``RayDataset.frame_hw`` and the per-frame
+    intrinsics are scaled by each frame's own factor.  ``False`` resizes
+    every frame to the first kept frame's (bounded) resolution — for
+    consumers that need one uniform raster (e.g. the fit example's patch
+    sampler)."""
     import gzip
 
     if max_image_dim and downsample > 1:
@@ -334,16 +363,21 @@ def load_co3d(
         img = _load_image(os.path.join(root, fd[i]["image_path"]))
         h, w = img.shape[:2]
         scale0 = min(1.0, max_image_dim / max(h, w))
-        if target_hw is None:
-            target_hw = (int(h * scale0), int(w * scale0))
-        import cv2
+        if keep_frame_sizes:
+            # per-frame native resolution (reference co3d_dataset.py keeps
+            # per-frame sizes): aspect-preserving bound to max_image_dim
+            out_hw = (max(1, round(h * scale0)), max(1, round(w * scale0)))
+        else:
+            if target_hw is None:
+                target_hw = (int(h * scale0), int(w * scale0))
+            out_hw = target_hw
+        sc = np.array([out_hw[1] / w, out_hw[0] / h], np.float32)
+        if out_hw != (h, w):
+            import cv2
 
-        sc = np.array(
-            [target_hw[1] / w, target_hw[0] / h], np.float32
-        )
-        img = cv2.resize(
-            img, (target_hw[1], target_hw[0]), interpolation=cv2.INTER_AREA
-        )
+            img = cv2.resize(
+                img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_AREA
+            )
         imgs.append(img)
         c2ws.append(fd[i]["pose"])
         intrins.append((fd[i]["fxy"] * sc, fd[i]["cxy"] * sc))
@@ -362,9 +396,11 @@ def load_co3d(
     c2w = T_sim @ c2w
     c2w[:, :3, 3] *= cam_scale_factor * sscale
 
-    H, W = target_hw
     all_o, all_d, all_gt = [], [], []
+    frame_hw = []
     for img, pose, (fxy, cxy) in zip(imgs, c2w, intrins):
+        H, W = img.shape[:2]
+        frame_hw.append((H, W))
         i, j = np.meshgrid(
             np.arange(W, dtype=np.float32),
             np.arange(H, dtype=np.float32),
@@ -383,15 +419,18 @@ def load_co3d(
         )
         all_d.append(dirs.astype(np.float32))
         all_gt.append(img.reshape(-1, 3).astype(np.float32))
+    frame_hw = np.asarray(frame_hw, np.int64)
+    uniform = bool((frame_hw == frame_hw[0]).all())
     return RayDataset(
         origins=np.concatenate(all_o),
         directions=np.concatenate(all_d),
         gt=np.concatenate(all_gt),
         near=near,
         far=far,
-        height=H,
-        width=W,
+        height=int(frame_hw[0, 0]),
+        width=int(frame_hw[0, 1]),
         n_images=len(imgs),
+        frame_hw=None if uniform else frame_hw,
     )
 
 
@@ -418,8 +457,15 @@ def _build_dataset(imgs, c2ws, focal, near, far) -> RayDataset:
 def auto_dataset(root: Optional[str], dataset_type: str = "auto", **kwargs):
     """Detect the dataset format from the directory contents (reference
     ``dataloader/dataset.py:16-39``); ``root=None`` -> synthetic scene."""
+    import inspect
+
+    def _call(loader, *args, **kw):
+        accepted = set(inspect.signature(loader).parameters)
+        return loader(*args, **{k: v for k, v in kw.items()
+                                if k in accepted})
+
     if root is None or dataset_type == "synthetic":
-        return make_synthetic_scene(**kwargs)
+        return _call(make_synthetic_scene, **kwargs)
     if dataset_type == "auto":
         if os.path.exists(os.path.join(root, "transforms_train.json")):
             dataset_type = "nerf"
@@ -441,4 +487,6 @@ def auto_dataset(root: Optional[str], dataset_type: str = "auto", **kwargs):
         "nsvf": load_nsvf,
         "co3d": load_co3d,
     }[dataset_type]
-    return loader(root, **kwargs)
+    # drop kwargs the resolved loader does not take (callers can pass
+    # loader-specific options like keep_frame_sizes with dataset_type=auto)
+    return _call(loader, root, **kwargs)

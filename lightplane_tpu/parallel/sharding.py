@@ -126,7 +126,8 @@ def data_parallel_renderer(mesh: Mesh, axis_name: str = RAY_AXIS, **defaults):
 
 
 def data_parallel_splatter(mesh: Mesh, axis_name: str = RAY_AXIS,
-                           use_mlp: bool = False, check_vma: bool = True,
+                           use_mlp: bool = False,
+                           check_vma: Optional[bool] = None,
                            **defaults):
     """Build a data-parallel splatter: rays sharded, output grids replicated.
 
@@ -135,19 +136,30 @@ def data_parallel_splatter(mesh: Mesh, axis_name: str = RAY_AXIS,
     normalization quotient so the result is identical to a single-device
     splat.  Implemented by splatting un-normalized partial grids per shard.
 
-    ``check_vma=False`` disables shard_map's varying-axes tracking (and
-    the pcast marking that depends on it).  Needed when the Pallas
-    kernels run in INTERPRET mode under the mesh (CPU tests): the
-    interpreter's discharged jaxpr mixes varying block values with
-    invariant loop indices, which the vma checker rejects.  Semantics are
-    unchanged — the explicit psum already carries the cross-shard
-    reduction.
+    ``check_vma`` controls shard_map's varying-axes checker.  The default
+    ``None`` resolves to True — the checker is ON for every compiled
+    (real-TPU) path — EXCEPT when the Pallas kernels run in INTERPRET mode
+    (CPU tests), where it resolves to False: jax 0.9.0's Pallas HLO
+    interpreter evaluates the kernel jaxpr without inserting ``pvary``, so
+    under ``check_vma=True`` even a trivial ``o[...] = x[...] * 2.0``
+    kernel fails with "Primitive mul requires varying manual axes to
+    match" (upstream bug; minimal repro + canary in
+    ``tests/test_parallel.py::test_pallas_interpret_check_vma_upstream_bug``
+    — when upstream fixes it the canary fails and this auto-resolution
+    should be removed).  Semantics are unchanged either way — the explicit
+    psum below carries the cross-shard reduction.
     """
 
     def splat(rays: Rays, output_grid_size, mlp_params=None, input_grid=None,
               return_list: bool = True, **kwargs):
         kw = dict(defaults)
         kw.update(kwargs)
+        if check_vma is None:
+            from ..ops.kernels import renderer_pallas as _rp
+
+            resolved_check_vma = not _rp.INTERPRET
+        else:
+            resolved_check_vma = check_vma
 
         rays_tuple = (
             rays.directions, rays.origins,
@@ -160,7 +172,7 @@ def data_parallel_splatter(mesh: Mesh, axis_name: str = RAY_AXIS,
             mesh=mesh,
             in_specs=(P(axis_name), P(), P()),
             out_specs=P(),
-            check_vma=check_vma,
+            check_vma=resolved_check_vma,
         )
         def _sharded(rays_tuple, mlp_flat, input_grid):
             directions, origins, grid_idx, near, far, encoding = rays_tuple
@@ -171,7 +183,7 @@ def data_parallel_splatter(mesh: Mesh, axis_name: str = RAY_AXIS,
             pv = lambda t: jax.tree_util.tree_map(
                 lambda x: (
                     jax.lax.pcast(x, (axis_name,), to='varying')
-                    if x is not None and check_vma else x
+                    if x is not None and resolved_check_vma else x
                 ),
                 t,
             )

@@ -2,7 +2,9 @@
 
 Counterpart of reference ``lightplane/visualize.py:26-288``: one 3D subplot
 per ``grid_idx`` showing the [-1, 1] NDC cube, ray segments from near to far,
-near/far endpoints, and optional per-ray color markers.
+near AND far endpoint markers (pixel colors drawn at the near points, as the
+reference does at ``visualize.py:212-233``), with per-scene axis bounds
+fitted to the ray endpoints (``visualize.py:240-288``).
 """
 
 from __future__ import annotations
@@ -51,6 +53,65 @@ def _segments_trace(go, starts, ends, name, color=None, width=2.0):
     )
 
 
+def rays_plot_data(
+    rays: Rays,
+    pixel_colors: Optional[np.ndarray] = None,
+    max_display_rays: int = 512,
+):
+    """Pure-data plot spec for a ray batch, one entry per grid index.
+
+    Separated from the plotly consumer so the geometry (endpoints, near
+    marker colors, fitted axis bounds) is testable without plotly.
+
+    Returns a list of dicts with keys ``grid_idx``, ``p_near``/``p_far``
+    (``[n, 3]``), ``near_colors`` (list of plotly rgb strings or None —
+    pixel colors are drawn at the NEAR points, as the reference does,
+    ``visualize.py:212-233``), and ``axis_range`` (``[3, 2]``): per-scene
+    bounds of center +- max spread over the ray endpoints, merged with
+    the [-1, 1] NDC cube (reference ``_update_axes_bounds``,
+    ``visualize.py:250-288``).
+    """
+    dirs = np.asarray(rays.directions)
+    origins = np.asarray(rays.origins)
+    near = np.asarray(rays.near)
+    far = np.asarray(rays.far)
+    grid_idx = np.asarray(rays.grid_idx)
+    uniq = np.unique(grid_idx)
+
+    scenes = []
+    for g in uniq:
+        sel = np.where(grid_idx == g)[0]
+        if len(sel) > max_display_rays:
+            sel = sel[
+                np.linspace(0, len(sel) - 1, max_display_rays).astype(int)
+            ]
+        o = origins[sel]
+        d = dirs[sel]
+        p_near = o + near[sel][:, None] * d
+        p_far = o + far[sel][:, None] * d
+
+        near_colors = None
+        if pixel_colors is not None:
+            cols255 = (
+                np.clip(np.asarray(pixel_colors)[sel], 0.0, 1.0) * 255
+            ).astype(int)
+            near_colors = [f"rgb({r},{gg},{b})" for r, gg, b in cols255]
+
+        ends = np.concatenate([p_near, p_far], axis=0)
+        center = ends.mean(axis=0)
+        max_expand = float((ends.max(axis=0) - ends.min(axis=0)).max())
+        lo = np.minimum(center - max_expand, -1.0)
+        hi = np.maximum(center + max_expand, 1.0)
+        scenes.append(dict(
+            grid_idx=int(g),
+            p_near=p_near,
+            p_far=p_far,
+            near_colors=near_colors,
+            axis_range=np.stack([lo, hi], axis=1),
+        ))
+    return scenes
+
+
 def visualize_rays_plotly(
     rays: Rays,
     pixel_colors: Optional[np.ndarray] = None,
@@ -63,8 +124,9 @@ def visualize_rays_plotly(
 
     Args:
         rays: the ray batch to display.
-        pixel_colors: optional ``[B, 3]`` RGB in [0, 1] drawn at ray far
-            points.
+        pixel_colors: optional ``[B, 3]`` RGB in [0, 1] drawn at the ray
+            NEAR points (matching the reference,
+            ``visualize.py:212-233``).
         max_display_rays: subsample cap per scene.
 
     Returns:
@@ -73,31 +135,18 @@ def visualize_rays_plotly(
     import plotly.graph_objects as go
     from plotly.subplots import make_subplots
 
-    dirs = np.asarray(rays.directions)
-    origins = np.asarray(rays.origins)
-    near = np.asarray(rays.near)
-    far = np.asarray(rays.far)
-    grid_idx = np.asarray(rays.grid_idx)
-    uniq = np.unique(grid_idx)
+    scenes = rays_plot_data(rays, pixel_colors, max_display_rays)
 
     fig = make_subplots(
         rows=1,
-        cols=len(uniq),
-        specs=[[{"type": "scene"}] * len(uniq)],
-        subplot_titles=[f"grid_idx={int(g)}" for g in uniq],
+        cols=len(scenes),
+        specs=[[{"type": "scene"}] * len(scenes)],
+        subplot_titles=[f"grid_idx={s['grid_idx']}" for s in scenes],
     )
 
-    for col, g in enumerate(uniq, start=1):
-        sel = np.where(grid_idx == g)[0]
-        if len(sel) > max_display_rays:
-            sel = sel[
-                np.linspace(0, len(sel) - 1, max_display_rays).astype(int)
-            ]
-        o = origins[sel]
-        d = dirs[sel]
-        p_near = o + near[sel][:, None] * d
-        p_far = o + far[sel][:, None] * d
-
+    for col, sc in enumerate(scenes, start=1):
+        g = sc["grid_idx"]
+        p_near, p_far = sc["p_near"], sc["p_far"]
         for e0, e1 in _cube_edges():
             fig.add_trace(
                 go.Scatter3d(
@@ -113,28 +162,37 @@ def visualize_rays_plotly(
             )
         fig.add_trace(
             _segments_trace(
-                go, p_near, p_far, f"rays_{int(g)}", width=ray_line_width
+                go, p_near, p_far, f"rays_{g}", width=ray_line_width
             ),
             row=1,
             col=col,
         )
-        marker_kwargs = dict(size=marker_size)
-        if pixel_colors is not None:
-            cols255 = (np.asarray(pixel_colors)[sel] * 255).astype(int)
-            marker_kwargs["color"] = [
-                f"rgb({r},{gg},{b})" for r, gg, b in cols255
-            ]
-        fig.add_trace(
-            go.Scatter3d(
-                x=p_far[:, 0],
-                y=p_far[:, 1],
-                z=p_far[:, 2],
-                mode="markers",
-                name=f"far_{int(g)}",
-                marker=marker_kwargs,
-            ),
-            row=1,
-            col=col,
+        # near + far endpoint markers; pixel colors at the NEAR points
+        near_kwargs = dict(size=marker_size)
+        if sc["near_colors"] is not None:
+            near_kwargs["color"] = sc["near_colors"]
+        for pts, name, mk in (
+            (p_near, f"near_{g}", near_kwargs),
+            (p_far, f"far_{g}", dict(size=marker_size)),
+        ):
+            fig.add_trace(
+                go.Scatter3d(
+                    x=pts[:, 0],
+                    y=pts[:, 1],
+                    z=pts[:, 2],
+                    mode="markers",
+                    name=name,
+                    marker=mk,
+                ),
+                row=1,
+                col=col,
+            )
+        lo, hi = sc["axis_range"][:, 0], sc["axis_range"][:, 1]
+        scene = fig.layout[f"scene{col if col > 1 else ''}"]
+        scene.update(
+            xaxis=dict(range=[float(lo[0]), float(hi[0])]),
+            yaxis=dict(range=[float(lo[1]), float(hi[1])]),
+            zaxis=dict(range=[float(lo[2]), float(hi[2])]),
         )
     fig.update_layout(title=title)
     return fig

@@ -75,16 +75,21 @@ def test_nnfm_loss_runs_and_grads():
     assert float(d_self["content_loss"]) < 1e-10
 
 
-def _write_fake_co3d(root, n_frames=6, hw=(12, 10)):
-    """A miniature CO3D-format category with a single sequence."""
+def _write_fake_co3d(root, n_frames=6, hw=(12, 10), hw_list=None,
+                     focal_list=None):
+    """A miniature CO3D-format category with a single sequence.
+
+    ``hw_list`` / ``focal_list`` give each frame its own image size /
+    ndc focal length (cycled), for per-frame fidelity tests."""
     import imageio.v2 as imageio
 
     cat = os.path.join(root, "toycat")
     os.makedirs(os.path.join(cat, "images"), exist_ok=True)
-    H, W = hw
     frames = []
     rng = np.random.RandomState(0)
     for i in range(n_frames):
+        H, W = hw_list[i % len(hw_list)] if hw_list else hw
+        focal = focal_list[i % len(focal_list)] if focal_list else (2.0, 2.0)
         rel = f"toycat/images/frame{i:03d}.jpg"
         img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
         imageio.imwrite(os.path.join(root, rel), img)
@@ -100,7 +105,7 @@ def _write_fake_co3d(root, n_frames=6, hw=(12, 10)):
             "viewpoint": {
                 "R": R.tolist(),
                 "T": T.tolist(),
-                "focal_length": [2.0, 2.0],
+                "focal_length": list(focal),
                 "principal_point": [0.0, 0.0],
             },
         })
@@ -126,6 +131,49 @@ def test_co3d_loader(tmp_path):
     # auto-detect routes to co3d
     ds2 = auto_dataset(root, "auto", split="test", hold_every=3)
     assert ds2.n_images == 2
+
+
+def test_co3d_per_frame_sizes_and_intrinsics(tmp_path):
+    """Per-frame fidelity (reference ``co3d_dataset.py:30-270`` keeps each
+    frame's own size): frames of DIFFERENT sizes and focal lengths must
+    survive the pipeline — per-frame image shapes in ``frame_hw`` /
+    ``image(i)``, and per-frame intrinsics in the ray geometry (checked
+    rotation-invariantly: the angle between the two ends of a frame's
+    first pixel row depends only on that frame's intrinsics)."""
+    from utils.datasets import load_co3d
+
+    root = str(tmp_path)
+    hw_list = [(12, 10), (16, 8)]
+    focal_list = [(2.0, 2.0), (3.0, 2.5)]
+    _write_fake_co3d(root, n_frames=6, hw_list=hw_list,
+                     focal_list=focal_list)
+    ds = load_co3d(root, split="train", hold_every=3)  # keeps frames 1,2,4,5
+    kept = [1, 2, 4, 5]
+    assert ds.n_images == 4
+    assert ds.frame_hw is not None
+    for row, i in zip(ds.frame_hw, kept):
+        assert tuple(int(x) for x in row) == hw_list[i % 2]
+    # total ray count is the sum of per-frame pixel counts
+    assert ds.origins.shape[0] == sum(
+        h * w for (h, w) in (hw_list[i % 2] for i in kept)
+    )
+    for fi, i in enumerate(kept):
+        o, d, gt = ds.image(fi)
+        H, W = hw_list[i % 2]
+        assert gt.shape == (H, W, 3)
+        assert o.shape == d.shape == (H * W, 3)
+        # expected intrinsics: ndc focal * half-size, principal at center
+        fx, fy = focal_list[i % 2]
+        fx_pix, cx = fx * W * 0.5, W * 0.5
+        fy_pix, cy = fy * H * 0.5, H * 0.5
+        dc_l = np.array([(0 - cx) / fx_pix, (0 - cy) / fy_pix, 1.0])
+        dc_r = np.array([(W - 1 - cx) / fx_pix, (0 - cy) / fy_pix, 1.0])
+        want = dc_l @ dc_r / (
+            np.linalg.norm(dc_l) * np.linalg.norm(dc_r)
+        )
+        dl, dr = d[0], d[W - 1]
+        got = dl @ dr / (np.linalg.norm(dl) * np.linalg.norm(dr))
+        np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_perceptual_loss():

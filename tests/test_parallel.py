@@ -191,10 +191,11 @@ def test_dp_sorted_splatter_big_grid(mesh):
         rays = random_rays(k1, 32, 1, encoding_dim=4)
         sizes = [(1, 24, 24, 24, 4)]   # 13,824 cells > MAX_CELLS_PER_GRID
         assert 24 ** 3 > rp.MAX_CELLS_PER_GRID
-        # check_vma=False: the Pallas INTERPRETER cannot evaluate
-        # vma-varying kernels (invariant loop indices vs varying blocks);
-        # on real TPU hardware the default (True) path lowers fine.
-        splat = data_parallel_splatter(mesh, check_vma=False)
+        # check_vma resolves automatically: True (checker ON) everywhere
+        # except Pallas INTERPRET mode, where jax 0.9.0's HLO interpreter
+        # cannot evaluate any kernel under the vma checker (see the
+        # test_pallas_interpret_check_vma_upstream_bug canary below).
+        splat = data_parallel_splatter(mesh)
 
         def loss_single(enc):
             r = dataclasses.replace(rays, encoding=enc)
@@ -218,3 +219,48 @@ def test_dp_sorted_splatter_big_grid(mesh):
                     mean_diff=1e-5)
     finally:
         rp.INTERPRET = False
+
+
+def test_pallas_interpret_check_vma_upstream_bug(mesh):
+    """CANARY for the upstream jax bug that forces check_vma off in
+    interpret mode (jax 0.9.0): the Pallas HLO interpreter evaluates the
+    kernel jaxpr with ``jax_core.eval_jaxpr`` without inserting ``pvary``,
+    so under ``shard_map(check_vma=True)`` even a trivial elementwise
+    kernel fails with "Primitive mul requires varying manual axes to
+    match".  ``data_parallel_splatter`` therefore auto-resolves
+    ``check_vma`` to False ONLY in interpret mode (sharding.py).
+
+    When a jax upgrade fixes the interpreter, this test FAILS — that is
+    the signal to delete the auto-resolution and run the checker
+    unconditionally."""
+    from jax.experimental import pallas as pl
+    from jax.sharding import PartitionSpec as P
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 2.0
+
+    def f(x):
+        return pl.pallas_call(
+            kernel,
+            grid=(4,),
+            in_specs=[pl.BlockSpec((8, 128), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (32, 128), jnp.float32, vma=frozenset({"rays"})
+            ),
+            interpret=True,
+        )(x)
+
+    g = jax.shard_map(f, mesh=mesh, in_specs=P("rays"),
+                      out_specs=P("rays"), check_vma=True)
+    x = jnp.ones((256, 128))
+    try:
+        g(x)
+    except ValueError as e:
+        assert "varying manual axes" in str(e), e
+        return
+    pytest.fail(
+        "jax's Pallas interpreter now supports check_vma=True — remove the "
+        "interpret-mode auto-resolution in parallel/sharding.py and run the "
+        "vma checker unconditionally."
+    )

@@ -208,4 +208,9 @@ def test_background_samples_grad_at_default_disparity():
             )
 
         for name, a, b in zip(["grid", "mlp", "enc"], g_f64, g_f32):
-            compare_one(a, b, f"inf1e-5/s{seed}/grad_{name}")
+            # magnitude_scaled: the background depths t ~ 1/1e-5 put MLP
+            # gradients at ~1e5 magnitude, where f32 cannot meet the
+            # reference's O(1)-absolute bounds against the f64 truth (the
+            # mean-relative bound still applies unscaled)
+            compare_one(a, b, f"inf1e-5/s{seed}/grad_{name}",
+                        magnitude_scaled=True)

@@ -189,7 +189,13 @@ def test_renderer_parity(variant):
         for name, a, b in zip(
             ["depth", "nlt", "features"], out_naive, out_fused
         ):
-            compare_one(a, b, f"v{variant}/s{seed}/{name}")
+            # nlt with background samples: disparity-spaced depths make
+            # sigma*delta terms O(1/disparity_at_inf), so nlt is far from
+            # O(1) and the reference's absolute bounds need the documented
+            # magnitude scaling; all other outputs stay at exact bounds
+            ms = name == "nlt" and cfg["num_samples_inf"] > 0
+            compare_one(a, b, f"v{variant}/s{seed}/{name}",
+                        magnitude_scaled=ms)
 
         if cfg["forward_only"]:
             continue
@@ -218,7 +224,14 @@ def test_renderer_parity(variant):
             else ["grid", "mlp", "enc"]
         )
         for name, a, b in zip(names, g_naive, g_fused):
-            compare_one(a, b, f"v{variant}/s{seed}/grad_{name}")
+            # background samples put gradient magnitudes at O(1/disparity)
+            # (measured: v15 MLP grads reach 6.5e3, where the naive/fused
+            # 0.195 max diff is 3e-5 RELATIVE — f32 association-order
+            # roundoff); the documented magnitude scaling applies there,
+            # exact reference bounds everywhere else
+            ms = cfg["num_samples_inf"] > 0
+            compare_one(a, b, f"v{variant}/s{seed}/grad_{name}",
+                        magnitude_scaled=ms)
 
 
 def test_renderer_image_size_reorder():

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lightplane_tpu.utils.grid_utils import (
     grid_l1_loss,
@@ -182,3 +183,58 @@ def test_vgg16_jax_features_and_lpips_path(tmp_path):
             os.environ.pop("LIGHTPLANE_VGG_WEIGHTS", None)
         else:
             os.environ["LIGHTPLANE_VGG_WEIGHTS"] = old
+
+
+def test_visualize_rays_plot_data():
+    """Visualizer parity (reference visualize.py:102-288): one scene per
+    grid index with near AND far endpoint markers, pixel colors attached
+    to the NEAR points, and per-scene axis bounds fitted to the ray
+    endpoints (merged with the NDC cube)."""
+    from lightplane_tpu import Rays
+    from lightplane_tpu.utils.visualize import rays_plot_data
+
+    n = 8
+    rays = Rays(
+        directions=jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1)),
+        origins=jnp.tile(jnp.array([[0.0, 0.0, -3.0]]), (n, 1)),
+        grid_idx=jnp.asarray([0] * 4 + [1] * 4, jnp.int32),
+        near=jnp.full((n,), 0.5),
+        far=jnp.full((n,), 5.0),
+    )
+    colors = np.linspace(0.0, 1.0, n * 3).reshape(n, 3)
+    scenes = rays_plot_data(rays, pixel_colors=colors)
+    assert [s["grid_idx"] for s in scenes] == [0, 1]
+    for s in scenes:
+        assert s["p_near"].shape == (4, 3) and s["p_far"].shape == (4, 3)
+        np.testing.assert_allclose(s["p_near"][:, 2], -2.5)  # o + 0.5*d
+        np.testing.assert_allclose(s["p_far"][:, 2], 2.0)    # o + 5.0*d
+        # pixel colors at the NEAR points (reference visualize.py:212-233)
+        assert len(s["near_colors"]) == 4
+        assert all(c.startswith("rgb(") for c in s["near_colors"])
+        # fitted bounds include the cube AND the endpoints
+        lo, hi = s["axis_range"][:, 0], s["axis_range"][:, 1]
+        assert (lo <= -1.0).all() and (hi >= 1.0).all()
+        assert lo[2] <= -2.5 and hi[2] >= 2.0
+    # without pixel colors the near markers are plain
+    assert rays_plot_data(rays)[0]["near_colors"] is None
+
+
+def test_visualize_rays_plotly_figure():
+    """Full plotly figure (only when plotly is installed)."""
+    pytest.importorskip("plotly")
+    from lightplane_tpu import Rays
+    from lightplane_tpu.utils.visualize import visualize_rays_plotly
+
+    n = 4
+    rays = Rays(
+        directions=jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1)),
+        origins=jnp.tile(jnp.array([[0.0, 0.0, -3.0]]), (n, 1)),
+        grid_idx=jnp.zeros((n,), jnp.int32),
+        near=jnp.full((n,), 0.5),
+        far=jnp.full((n,), 5.0),
+    )
+    fig = visualize_rays_plotly(rays)
+    names = [t.name for t in fig.data]
+    assert "near_0" in names and "far_0" in names and "rays_0" in names
+    rng = fig.layout["scene"]["zaxis"]["range"]
+    assert rng is not None and rng[1] >= 2.0

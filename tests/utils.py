@@ -28,17 +28,19 @@ MEAN_REL_DIFF = 7e-4
 
 
 def compare_one(x, y, name: str = "", max_diff=MAX_DIFF, mean_diff=MEAN_DIFF,
-                mean_rel_diff=MEAN_REL_DIFF):
+                mean_rel_diff=MEAN_REL_DIFF, *, magnitude_scaled=False):
     """Assert |x - y| within the reference's absolute/mean/relative bounds
-    (``tests/utils.py:185-221``).
+    (``tests/utils.py:185-221``) — the reference's EXACT bounds by default
+    (max 0.1, mean 2e-3, mean-rel 7e-4; no scaling, no slack factor).
 
-    The reference's absolute bounds assume O(1)-magnitude outputs; configs
-    with disparity background samples produce nlt ~1e3 and MLP grads ~1e5,
-    where an f32 implementation cannot meet a 0.1 absolute bound against
-    *itself re-run in a different association order* — measured: the pure
-    scan path in f32 deviates from an f64 oracle by max ~1.1 on grads of
-    magnitude 1.6e5 for the masked_inf_noise fixture.  The absolute bounds
-    are therefore scaled by the data magnitude (no-op for O(1) data).
+    ``magnitude_scaled=True`` is an explicit, per-site opt-in for
+    ill-conditioned configs whose outputs are far from O(1) — disparity
+    background samples produce nlt ~1e3 and MLP grads ~1e5, where an f32
+    implementation cannot meet a 0.1 absolute bound against *itself re-run
+    in a different association order* (measured: the pure scan path in f32
+    deviates from an f64 oracle by max ~1.1 on grads of magnitude 1.6e5
+    for the masked_inf_noise fixture).  It scales the two absolute bounds
+    by the data magnitude; call sites using it must say why.
     """
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
@@ -48,8 +50,10 @@ def compare_one(x, y, name: str = "", max_diff=MAX_DIFF, mean_diff=MEAN_DIFF,
     adiff = np.abs(x - y)
     denom = 0.5 * (np.abs(x) + np.abs(y)) + 1e-4
     rel = adiff / denom
-    max_scale = max(1.0, float(np.abs(x).max()) if x.size else 1.0)
-    mean_scale = max(1.0, float(np.abs(x).mean()) if x.size else 1.0)
+    max_scale = mean_scale = 1.0
+    if magnitude_scaled and x.size:
+        max_scale = max(1.0, float(np.abs(x).max()))
+        mean_scale = max(1.0, float(np.abs(x).mean()))
     assert adiff.max() <= max_diff * max_scale, (
         f"{name}: max abs diff {adiff.max():.2e} > {max_diff}*{max_scale:.1e}"
     )
@@ -57,8 +61,8 @@ def compare_one(x, y, name: str = "", max_diff=MAX_DIFF, mean_diff=MEAN_DIFF,
         f"{name}: mean abs diff {adiff.mean():.2e} >"
         f" {mean_diff}*{mean_scale:.1e}"
     )
-    assert rel.mean() <= mean_rel_diff * 10, (
-        f"{name}: mean rel diff {rel.mean():.2e}"
+    assert rel.mean() <= mean_rel_diff, (
+        f"{name}: mean rel diff {rel.mean():.2e} > {mean_rel_diff:.1e}"
     )
 
 
