@@ -197,7 +197,46 @@ def main():
                    help="cells per grid axis (triplane planes or voxel)")
     p.add_argument("--contract", action="store_true",
                    help="MeRF coordinate contraction (unbounded scenes)")
+    p.add_argument(
+        "--scaffold_sweep", action="store_true",
+        help="crossover mode: sweep scaffold sphere radius x num_samples "
+             "at one image size and report speedup vs the ungated run "
+             "(finds the sparsity where gating pays; VERDICT r4 item 5)",
+    )
     args = p.parse_args()
+
+    if args.scaffold_sweep:
+        size = args.sizes[0] if args.sizes else 256
+        print("STATS,impl,image_size,num_samples,radius,occupancy_frac,"
+              "t_fwbw_ms,rays_per_s_fwbw,speedup_vs_ungated")
+        for ns in ([args.num_samples] if args.num_samples != 256
+                   else [128, 256, 512]):
+            base = None
+            for radius in [None, 0.7, 0.55, 0.4, 0.25, 0.15]:
+                try:
+                    r = bench_one(
+                        "pallas", size, ns, tile_order=args.tile_order,
+                        scaffold_radius=radius, grid_kind=args.grid,
+                        grid_res=args.grid_res,
+                    )
+                except Exception as e:
+                    print(f"STATS,pallas,{size},{ns},{radius},ERROR,"
+                          f"{type(e).__name__},,")
+                    continue
+                n = size * size
+                if radius is None:
+                    base = r["fwbw"]
+                    occ = 1.0
+                else:
+                    occ = float(
+                        make_sphere_scaffold(radius).mean()
+                    )
+                speed = base / r["fwbw"] if base else float("nan")
+                print(
+                    f"STATS,pallas,{size},{ns},{radius},{occ:.4f},"
+                    f"{r['fwbw']*1e3:.2f},{n/r['fwbw']:.0f},{speed:.3f}"
+                )
+        return
 
     label = (
         f"+sc{args.scaffold_radius}" if args.scaffold_radius else ""

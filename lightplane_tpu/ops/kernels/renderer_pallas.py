@@ -168,58 +168,65 @@ def _w3_mode(cfg) -> bool:
 
 def _scaffold_gate_base(cfg, geom, R_pad):
     """Per-(step, ray) scaffold occupancy gates, nearest-sampled OUTSIDE
-    the kernel (one XLA gather; a nearest one-hot stencil would not scale
-    in-kernel) and laid out step-major so kernels slice aligned row
-    blocks per chunk.
+    the kernel (one XLA gather per step group; a nearest one-hot stencil
+    would not scale in-kernel), bitpacked 8 steps per byte.
 
-    Returns the step-major base ``[S, R_pad]`` f32 (see
-    ``_gate_fw_layout`` / ``_gate_bw_layout``), or None without a
-    scaffold.  Memory is O(rays * samples) floats — the one deliberate
-    exception to the O(rays) rule, traded for keeping scaffolded
-    rendering on the fused kernels; the scan path remains available for
-    extreme sample counts (``impl="scan"``).
+    Returns the rays-major bitpacked ``[R_pad, SB_pad128]`` int8 buffer
+    (8 steps per byte), or None without a scaffold.  The precompute is
+    CHUNKED (``lax.map`` over byte columns, round 5): each iteration
+    touches only ``[R, 8]`` transients, so working memory is O(rays) —
+    only the 1-bit-per-(ray, step) packed OUTPUT remains (a 1024^2 x 256
+    render's gate is 33.5 MB vs 270 MB int8 / 1.1 GB f32 unpacked), and
+    it is the kernel's input, streamed blockwise into VMEM.  Kernels
+    unpack the chunk's bits from byte columns with exact f32 shift math.
     """
     if not cfg.use_scaffold:
         return None
-    from ..grid_sample import sample_grid_rep
+    from ..grid_sample import _corner_rows_and_weights
+    from ..misc_utils import is_in_bounds
 
     directions, origins, near, far, grid_idx, scaffold_flat, _ = geom
     R = directions.shape[0]
     S = cfg.tot_num_samples
-    s = jnp.arange(S, dtype=jnp.float32)[None, :]
-    t, _ = _step_depth_delta(cfg, near[:, None], far[:, None], s)
-    pts = origins[:, None, :] + t[..., None] * directions[:, None, :]
-    if cfg.contract_coords:
-        pts = _contract_pi(pts)
-    # SCALAR nearest gather (same rows/weights as sample_grid_rep's
-    # nearest mode, but taking from the squeezed [V] vector): scalar
-    # gathers from small tables fuse into the surrounding elementwise
-    # fusion on TPU, while the generic [., 1]-row gather is a ~120 ms
-    # standalone op at 256^2 x 256 samples (see scratch/PERF_NOTES.md)
-    from ..grid_sample import _corner_rows_and_weights
-    from ..misc_utils import is_in_bounds
+    SB = -(-S // 8)
+    pow2 = (1 << jnp.arange(8, dtype=jnp.int32))[None, :]
 
-    bidx = jnp.broadcast_to(
-        grid_idx.astype(jnp.int32)[:, None], pts.shape[:-1]
-    )
-    rows, w = _corner_rows_and_weights(
-        cfg.scaffold_size + (1,), pts, bidx, "nearest"
-    )
-    gate = jnp.take(scaffold_flat[:, 0], rows[..., 0]) * w[..., 0]
-    gate = gate * is_in_bounds(pts)[..., 0].astype(gate.dtype)  # [R, S]
-    # occupancy is 0/1: BITPACK 8 steps per byte (round 4) — the
-    # O(rays * samples) term shrinks to 1 bit/sample (a 1024^2 x 256
-    # render's gate is 33.5 MB instead of 270 MB int8); kernels unpack
-    # the chunk's bits from byte columns with exact f32 shift math
-    S8 = -(-S // 8) * 8
-    gate = jnp.pad(gate, ((0, R_pad - R), (0, S8 - S)), mode="edge")
-    bits = (gate.reshape(R_pad, S8 // 8, 8) > 0.5).astype(jnp.int32)
-    w = (1 << jnp.arange(8, dtype=jnp.int32))[None, None, :]
+    def gate_byte(b):
+        # steps of this byte, edge-clamped to S-1 (the pre-chunking code
+        # edge-padded the [R, S] gate columns to S8 — identical bits,
+        # and the kernels mask steps >= S anyway)
+        s = jnp.minimum(
+            b * 8 + jnp.arange(8, dtype=jnp.int32), S - 1
+        ).astype(jnp.float32)[None, :]
+        t, _ = _step_depth_delta(cfg, near[:, None], far[:, None], s)
+        pts = origins[:, None, :] + t[..., None] * directions[:, None, :]
+        if cfg.contract_coords:
+            pts = _contract_pi(pts)
+        # SCALAR nearest gather (same rows/weights as sample_grid_rep's
+        # nearest mode, but taking from the squeezed [V] vector): scalar
+        # gathers from small tables fuse into the surrounding elementwise
+        # fusion on TPU, while the generic [., 1]-row gather is a ~120 ms
+        # standalone op at 256^2 x 256 samples (see scratch/PERF_NOTES.md)
+        bidx = jnp.broadcast_to(
+            grid_idx.astype(jnp.int32)[:, None], pts.shape[:-1]
+        )
+        rows, w = _corner_rows_and_weights(
+            cfg.scaffold_size + (1,), pts, bidx, "nearest"
+        )
+        gate = jnp.take(scaffold_flat[:, 0], rows[..., 0]) * w[..., 0]
+        gate = gate * is_in_bounds(pts)[..., 0].astype(gate.dtype)
+        bits = (gate > 0.5).astype(jnp.int32)               # [R, 8]
+        return jnp.sum(bits * pow2, axis=-1)                # [R] i32
+
+    packed_t = jax.lax.map(
+        gate_byte, jnp.arange(SB, dtype=jnp.int32)
+    )                                                       # [SB, R]
     # int8 storage (Mosaic lacks a uint8->f32 cast); byte values >= 128
     # read back negative and the kernel re-biases them
-    packed = jnp.sum(bits * w, axis=-1).astype(jnp.int8)
+    packed = packed_t.T.astype(jnp.int8)                    # [R, SB]
+    packed = jnp.pad(packed, ((0, R_pad - R), (0, 0)), mode="edge")
     return jnp.pad(
-        packed, ((0, 0), (0, (-packed.shape[1]) % 128))
+        packed, ((0, 0), (0, (-SB) % 128))
     )                                            # [R_pad, SB_pad128] i8
 
 
