@@ -101,17 +101,26 @@ def _error_json(metric, unit, error):
     )
 
 
-def run_metric_subprocess(name, metric_desc, unit):
+def run_metric_subprocess(name, metric_desc, unit, env_override=None,
+                          _is_retry=False):
     """Run `python bench.py --metric <name>` bounded; forward its stdout.
 
     Any rc!=0 / timeout / non-JSON output degrades to an error-JSON line.
+    A first failure retries ONCE with LIGHTPLANE_PACKED_RAYS=0 — the
+    packed per-ray input table (renderer_pallas.PACKED_RAYS) is the one
+    recent kernel-layout change that interpret tests cannot fully vet
+    against the real Mosaic compiler.
     """
+    env = dict(os.environ)
+    if env_override:
+        env.update(env_override)
     try:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--metric", name],
             timeout=METRIC_TIMEOUT_S,
             capture_output=True,
             text=True,
+            env=env,
         )
     except subprocess.TimeoutExpired:
         _error_json(metric_desc, unit, f"metric '{name}' timed out "
@@ -124,6 +133,17 @@ def run_metric_subprocess(name, metric_desc, unit):
             print(line)
             emitted = True
     if p.returncode != 0 or not emitted:
+        if not _is_retry:
+            print(
+                f"# metric '{name}' failed (rc={p.returncode}); retrying "
+                "with LIGHTPLANE_PACKED_RAYS=0",
+                file=sys.stderr,
+            )
+            return run_metric_subprocess(
+                name, metric_desc, unit,
+                env_override={"LIGHTPLANE_PACKED_RAYS": "0"},
+                _is_retry=True,
+            )
         _error_json(
             metric_desc, unit,
             f"metric '{name}' rc={p.returncode}: {_tail(p.stderr)}",

@@ -39,6 +39,7 @@ via precomputed per-(ray, step) gates (``_scaffold_gate_base``).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import jax
@@ -2025,9 +2026,13 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
             w3_scr = refs[-n_w3scr:]
             w3_boxes, w3_sems = list(w3_scr[:-1]), w3_scr[-1]
             refs = refs[:-n_w3scr]
-        (o_ref, d_ref, near_ref, far_ref, gsel_ref, enc_ref,
-         seed_ref) = refs[:7]
-        rest = refs[7:]
+        if PACKED_RAYS:
+            rays_ref, seed_ref = refs[:2]
+            rest = refs[2:]
+        else:
+            (o_ref, d_ref, near_ref, far_ref, gsel_ref, enc_ref,
+             seed_ref) = refs[:7]
+            rest = refs[7:]
         if windowed or w2 or w3:
             w0_ref = rest[0]
             rest = rest[1:]
@@ -2058,18 +2063,26 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
                 cgrid_ref = None
         n_w = 2 * (n_t + n_o + n_c)
         mlp_refs = rest[:n_w]
-        depth_ref, nlt_ref, feat_ref = rest[n_w:]
+        if PACKED_RAYS:
+            (out_ref,) = rest[n_w:]
+        else:
+            depth_ref, nlt_ref, feat_ref = rest[n_w:]
 
         mlps = _unpack_mlp_refs(mlp_refs, n_mlp)
         pid = pl.program_id(0)
-        B = o_ref.shape[0]
 
-        origins = o_ref[:]
-        dirs = d_ref[:]
-        near = near_ref[:]
-        far = far_ref[:]
-        gsel = gsel_ref[:]
-        enc = enc_ref[:]
+        if PACKED_RAYS:
+            origins, dirs, near, far, gsel, enc = _unpack_ray_refs(
+                cfg, rays_ref
+            )
+        else:
+            origins = o_ref[:]
+            dirs = d_ref[:]
+            near = near_ref[:]
+            far = far_ref[:]
+            gsel = gsel_ref[:]
+            enc = enc_ref[:]
+        B = origins.shape[0]
         seed = seed_ref[0, 0]
 
         iotas_list = [_make_iotas(i) for i in infos]
@@ -2234,9 +2247,22 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
             jnp.zeros((B, C_col), jnp.float32),
         )
         nlt, depth_acc, feat_acc = jax.lax.fori_loop(0, n_chunks, body, init)
-        depth_ref[:] = depth_acc
-        nlt_ref[:] = nlt
-        feat_ref[:] = feat_acc
+        if PACKED_RAYS:
+            # single packed store: [0]=depth, [1]=nlt, [8:8+C]=features
+            OW = out_ref.shape[1]
+            pieces = [
+                depth_acc, nlt,
+                jnp.zeros((B, OUT_FEAT - 2), jnp.float32),
+                feat_acc,
+            ]
+            pad = OW - OUT_FEAT - C_col
+            if pad:
+                pieces.append(jnp.zeros((B, pad), jnp.float32))
+            out_ref[:] = jnp.concatenate(pieces, axis=1)
+        else:
+            depth_ref[:] = depth_acc
+            nlt_ref[:] = nlt
+            feat_ref[:] = feat_acc
 
     return kernel
 
@@ -2311,16 +2337,102 @@ def _ray_block(cfg):
     return RAY_BLOCK
 
 
+# Packed per-ray input table (round 5): every narrow per-ray column —
+# [R, 3] origins/directions, [R, 1] near/far/grid_idx — is a separate HBM
+# array whose minor dim pads to the 128-lane tile (42.7x waste for [R, 3],
+# 128x for [R, 1]; ~0.5 GB/image of the 512^2 memory-bench marginal,
+# docs/benchmark.md).  Packing them (plus the encoding) into ONE
+# [R, 128k]-lane f32 table makes the per-ray input cost one tile row per
+# ray.  Lane layout (8-aligned slots; grid_idx rides as exact small f32):
+PACK_O = 0      # origins   [0:3]
+PACK_D = 3      # dirs      [3:6]
+PACK_NEAR = 6   # near      [6:7]
+PACK_FAR = 7    # far       [7:8]
+PACK_GSEL = 8   # grid_idx  [8:9] (f32-encoded int)
+PACK_ENC = 16   # encoding  [16:16+C_enc]
+# bw cotangent table lane layout:
+COT_NLT = 0     # forward nlt residual
+COT_GD = 1      # g_depth
+COT_GN = 2      # g_nlt
+COT_GF = 8      # g_feat [8:8+C_col]
+# fw packed output lane layout:
+OUT_D = 0       # expected depth
+OUT_NLT = 1     # negative log transmittance
+OUT_FEAT = 8    # features [8:8+C_col]
+
+PACKED_RAYS = os.environ.get("LIGHTPLANE_PACKED_RAYS", "1") == "1"
+
+
+def _pack_width(c_last):
+    return -(-(PACK_ENC + c_last) // 128) * 128
+
+
+def _ray_table(origins, directions, near, far, grid_idx, rays_encoding):
+    R = origins.shape[0]
+    C_enc = rays_encoding.shape[1]
+    TW = _pack_width(C_enc)
+    dtype = origins.dtype
+    cols = [
+        origins, directions, near[:, None], far[:, None],
+        grid_idx[:, None].astype(dtype),
+        jnp.zeros((R, PACK_ENC - 9), dtype),
+        rays_encoding.astype(dtype),
+    ]
+    pad = TW - PACK_ENC - C_enc
+    if pad:
+        cols.append(jnp.zeros((R, pad), dtype))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _tbl_cols(tbl):
+    """(origins, dirs, near, far, gsel) XLA-level views of a ray table."""
+    return (
+        tbl[:, PACK_O: PACK_O + 3],
+        tbl[:, PACK_D: PACK_D + 3],
+        tbl[:, PACK_NEAR],
+        tbl[:, PACK_FAR],
+        tbl[:, PACK_GSEL].astype(jnp.int32),
+    )
+
+
+def _unpack_ray_refs(cfg, rays_ref):
+    """Kernel prologue: per-component values from the packed block."""
+    tbl = rays_ref[:]
+    C_enc = cfg.n_hidden_color[0]
+    return (
+        tbl[:, PACK_O: PACK_O + 3],             # origins [B, 3]
+        tbl[:, PACK_D: PACK_D + 3],             # dirs    [B, 3]
+        tbl[:, PACK_NEAR: PACK_NEAR + 1],       # near    [B, 1]
+        tbl[:, PACK_FAR: PACK_FAR + 1],         # far     [B, 1]
+        tbl[:, PACK_GSEL: PACK_GSEL + 1].astype(jnp.int32),
+        tbl[:, PACK_ENC: PACK_ENC + C_enc],     # encoding [B, C_enc]
+    )
+
+
 def _ray_inputs(cfg, geom, rays_encoding, B):
     directions, origins, near, far, grid_idx, _scaffold, noise_seed = geom
     R = directions.shape[0]
-    arrs = [
-        origins, directions, near[:, None], far[:, None],
-        grid_idx[:, None].astype(jnp.int32), rays_encoding,
-    ]
+    if PACKED_RAYS:
+        arrs = [
+            _ray_table(origins, directions, near, far, grid_idx,
+                       rays_encoding)
+        ]
+    else:
+        arrs = [
+            origins, directions, near[:, None], far[:, None],
+            grid_idx[:, None].astype(jnp.int32), rays_encoding,
+        ]
     arrs, R_pad = _pad_rays_to_block(arrs, R, B)
     seed = jnp.asarray(noise_seed, jnp.int32).reshape(1, 1)
     return arrs, seed, R, R_pad
+
+
+def _plan_cols(arrs):
+    """(origins, dirs, near, far, gsel) for the host-side window/W3
+    planners, from either ray-input layout."""
+    if PACKED_RAYS:
+        return _tbl_cols(arrs[0])
+    return (arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], arrs[4][:, 0])
 
 
 def _w3_grid_inputs(flat, geos, infos):
@@ -2443,26 +2555,47 @@ def pallas_render_fwd(cfg, geom, diff):
         + [full(t.shape) for t in mlp_tensors]
     )
     inputs = arrs + [seed] + gates + grid_inputs + mlp_tensors
+    NR = len(arrs) + 1  # ray inputs + seed (w0 tables insert after these)
 
-    out_shape = [
-        jax.ShapeDtypeStruct((R_pad, 1), jnp.float32),
-        jax.ShapeDtypeStruct((R_pad, 1), jnp.float32),
-        jax.ShapeDtypeStruct((R_pad, C_col), jnp.float32),
-    ]
-    out_specs = [
-        pl.BlockSpec((RB, 1), lambda b: (b, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((RB, 1), lambda b: (b, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((RB, C_col), lambda b: (b, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    if PACKED_RAYS:
+        OW = -(-(OUT_FEAT + C_col) // 128) * 128
+        out_shape = [jax.ShapeDtypeStruct((R_pad, OW), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec((RB, OW), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+        def unpack_out(outs):
+            (o,) = outs
+            return (
+                o[:R, OUT_D], o[:R, OUT_NLT],
+                o[:R, OUT_FEAT: OUT_FEAT + C_col],
+            )
+    else:
+        out_shape = [
+            jax.ShapeDtypeStruct((R_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R_pad, C_col), jnp.float32),
+        ]
+        out_specs = [
+            pl.BlockSpec((RB, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, C_col), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+        def unpack_out(outs):
+            depth, nlt, feat = outs
+            return depth[:R, 0], nlt[:R, 0], feat[:R]
 
     if w3geos is not None:
         K = _march_chunk(cfg)
+        o_p, d_p, near_p, far_p, gsel_p = _plan_cols(arrs)
         w0_3, fits3 = rw3.w3_plan(
-            cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], K, False,
-            w3geos, RB, gsel=arrs[4][:, 0],
+            cfg, o_p, d_p, near_p, far_p, K, False,
+            w3geos, RB, gsel=gsel_p,
         )
 
         def call_w3():
@@ -2474,17 +2607,17 @@ def pallas_render_fwd(cfg, geom, diff):
                 (8, w0_3.shape[1]), lambda b: (b // 8, 0),
                 memory_space=pltpu.SMEM,
             )
-            depth, nlt, feat = pl.pallas_call(
+            outs = pl.pallas_call(
                 kernel,
                 grid=(n_blocks,),
-                in_specs=in_specs[:7] + [w0_spec] + in_specs[7:],
+                in_specs=in_specs[:NR] + [w0_spec] + in_specs[NR:],
                 out_specs=out_specs,
                 out_shape=out_shape,
                 scratch_shapes=rw3.w3_scratch_shapes(w3geos, bw=False),
                 interpret=INTERPRET,
                 compiler_params=_COMPILER_PARAMS_FW,
-            )(*(inputs[:7] + [w0_3] + inputs[7:]))
-            return depth[:R, 0], nlt[:R, 0], feat[:R]
+            )(*(inputs[:NR] + [w0_3] + inputs[NR:]))
+            return unpack_out(outs)
 
         def call_scan():
             from ..renderer import _render_fwd_impl
@@ -2518,12 +2651,10 @@ def pallas_render_fwd(cfg, geom, diff):
 
     winfos, main_idx, color_idx = _windowable_infos(cfg, infos, cinfos)
     if not winfos:
-        depth, nlt, feat = call_general()
-        return depth[:R, 0], nlt[:R, 0], feat[:R]
+        return unpack_out(call_general())
 
     K = _march_chunk(cfg)
-    origins_p, dirs_p = arrs[0], arrs[1]
-    near_p, far_p = arrs[2][:, 0], arrs[3][:, 0]
+    origins_p, dirs_p, near_p, far_p, _gsel_p = _plan_cols(arrs)
     w0, fits_all = _window_plan(
         cfg, origins_p, dirs_p, near_p, far_p, K, False, winfos, RB
     )
@@ -2538,12 +2669,12 @@ def pallas_render_fwd(cfg, geom, diff):
         return pl.pallas_call(
             kernel,
             grid=(n_blocks,),
-            in_specs=in_specs[:7] + [w0_spec] + in_specs[7:],
+            in_specs=in_specs[:NR] + [w0_spec] + in_specs[NR:],
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=INTERPRET,
             compiler_params=_COMPILER_PARAMS_FW,
-        )(*(inputs[:7] + [table] + inputs[7:]))
+        )(*(inputs[:NR] + [table] + inputs[NR:]))
 
     def call_windowed():
         return call_with_table(
@@ -2554,17 +2685,16 @@ def pallas_render_fwd(cfg, geom, diff):
     w2s = _w2_shape(cfg, K)
     w2maps = _w2_grid_maps(cfg, infos, cinfos, w2s) + (w2s,)
     if not _w2_available(cfg, infos, cinfos, w2s):
-        depth, nlt, feat = fallback()
-        return depth[:R, 0], nlt[:R, 0], feat[:R]
+        return unpack_out(fallback())
 
     w0_2, fits2 = _w2_plan(
         cfg, origins_p, dirs_p, near_p, far_p, K, False, w2maps[0], RB,
         w2s,
     )
-    depth, nlt, feat = jax.lax.cond(
+    outs = jax.lax.cond(
         fits2, lambda: call_with_table(w0_2, w2maps=w2maps), fallback
     )
-    return depth[:R, 0], nlt[:R, 0], feat[:R]
+    return unpack_out(outs)
 
 
 # ---------------------------------------------------------------------------
@@ -2609,9 +2739,13 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
                 (scr_refs[2 * i], scr_refs[2 * i + 1])
                 for i in range(n_scr // 2)
             ]
-        (o_ref, d_ref, near_ref, far_ref, gsel_ref, enc_ref, nltf_ref,
-         gdepth_ref, gnlt_ref, gfeat_ref, seed_ref) = refs[:11]
-        rest = refs[11:]
+        if PACKED_RAYS:
+            rays_ref, cot_ref, seed_ref = refs[:3]
+            rest = refs[3:]
+        else:
+            (o_ref, d_ref, near_ref, far_ref, gsel_ref, enc_ref, nltf_ref,
+             gdepth_ref, gnlt_ref, gfeat_ref, seed_ref) = refs[:11]
+            rest = refs[11:]
         if windowed or w2 or w3:
             w0_ref = rest[0]
             rest = rest[1:]
@@ -2661,7 +2795,6 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
         mlps = _unpack_mlp_refs(mlp_refs, n_mlp)
         (w_t, b_t, w_o, b_o, w_c, b_c) = mlps
         pid = pl.program_id(0)
-        B = o_ref.shape[0]
 
         # zero the accumulated outputs on the first program (the W3 HBM
         # gradient grids are zero-initialized via their aliased inputs)
@@ -2674,16 +2807,28 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
             for r in gmlp_refs:
                 r[...] = jnp.zeros_like(r)
 
-        origins = o_ref[:]
-        dirs = d_ref[:]
-        near = near_ref[:]
-        far = far_ref[:]
-        gsel = gsel_ref[:]
-        enc = enc_ref[:]
+        if PACKED_RAYS:
+            origins, dirs, near, far, gsel, enc = _unpack_ray_refs(
+                cfg, rays_ref
+            )
+            cot = cot_ref[:]
+            nltf = cot[:, COT_NLT: COT_NLT + 1]
+            g_depth = cot[:, COT_GD: COT_GD + 1]
+            g_nlt = cot[:, COT_GN: COT_GN + 1]
+            g_feat = cot[:, COT_GF: COT_GF + C_col]
+        else:
+            origins = o_ref[:]
+            dirs = d_ref[:]
+            near = near_ref[:]
+            far = far_ref[:]
+            gsel = gsel_ref[:]
+            enc = enc_ref[:]
+            nltf = nltf_ref[:]
+            g_depth = gdepth_ref[:]
+            g_nlt = gnlt_ref[:]
+            g_feat = gfeat_ref[:]
+        B = origins.shape[0]
         seed = seed_ref[0, 0]
-        g_depth = gdepth_ref[:]
-        g_nlt = gnlt_ref[:]
-        g_feat = gfeat_ref[:]
 
         iotas_list = [_make_iotas(i) for i in infos]
         ciotas_list = [_make_iotas(i) for i in cinfos] if has_cgrid else None
@@ -3052,7 +3197,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
             )
 
         init = (
-            nltf_ref[:],
+            nltf,
             jnp.zeros((B, 1), jnp.float32),
             jnp.zeros_like(enc),
         )
@@ -3127,7 +3272,20 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
     nltf_p, _ = _pad_rays_to_block([nlt_final[:, None]], R, RB)
     extra = [g_depth[:, None], g_nlt[:, None], g_feat]
     extra, _ = _pad_rays_to_block(extra, R, RB, mode="constant")
-    arrs = arrs + nltf_p + extra
+    if PACKED_RAYS:
+        # one packed cotangent table per the COT_* lane layout
+        CW = -(-(COT_GF + C_col) // 128) * 128
+        cot_cols = [
+            nltf_p[0], extra[0], extra[1],
+            jnp.zeros((R_pad, COT_GF - 3), jnp.float32),
+            extra[2],
+        ]
+        pad = CW - COT_GF - C_col
+        if pad:
+            cot_cols.append(jnp.zeros((R_pad, pad), jnp.float32))
+        arrs = arrs + [jnp.concatenate(cot_cols, axis=1)]
+    else:
+        arrs = arrs + nltf_p + extra
     n_blocks = R_pad // RB
 
     gate_base = _scaffold_gate_base(cfg, geom, R_pad)
@@ -3192,6 +3350,7 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         + [full(t.shape) for t in mlp_tensors]
     )
     inputs = arrs + [seed] + grid_inputs + gzeros + mlp_tensors
+    NR = len(arrs) + 1  # ray inputs + seed (w0 tables insert after these)
 
     if w3geos is not None:
         out_shape = [
@@ -3265,9 +3424,10 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         from . import renderer_w3 as rw3
 
         K3 = _march_chunk(cfg, bw=True)
+        o_p, d_p, near_p, far_p, gsel_p = _plan_cols(arrs)
         w0_3, fits3 = rw3.w3_plan(
-            cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], K3, True,
-            w3geos, RB, gsel=arrs[4][:, 0],
+            cfg, o_p, d_p, near_p, far_p, K3, True,
+            w3geos, RB, gsel=gsel_p,
         )
 
         def call_w3():
@@ -3280,7 +3440,7 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
                 memory_space=pltpu.SMEM,
             )
             g_in, g_specs = gate_io(K3)
-            n_front = 12 + len(g_in)  # arrs(10) + seed + w0 + gates
+            n_front = NR + 1 + len(g_in)  # ray inputs + seed + w0 + gates
             aliases = {
                 n_front + len(grid_inputs) + i: i
                 for i in range(len(w3geos))
@@ -3288,8 +3448,8 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
             outs = pl.pallas_call(
                 kernel,
                 grid=(n_blocks,),
-                in_specs=in_specs[:11] + [w0_spec] + g_specs
-                + in_specs[11:],
+                in_specs=in_specs[:NR] + [w0_spec] + g_specs
+                + in_specs[NR:],
                 out_specs=out_specs,
                 out_shape=out_shape,
                 scratch_shapes=(
@@ -3299,7 +3459,7 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
                 input_output_aliases=aliases,
                 interpret=INTERPRET,
                 compiler_params=_COMPILER_PARAMS,
-            )(*(inputs[:11] + [w0_3] + g_in + inputs[11:]))
+            )(*(inputs[:NR] + [w0_3] + g_in + inputs[NR:]))
             return _repack(outs)
 
         def call_scan():
@@ -3326,21 +3486,22 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         return pl.pallas_call(
             kernel,
             grid=(n_blocks,),
-            in_specs=in_specs[:11] + g_specs + in_specs[11:],
+            in_specs=in_specs[:NR] + g_specs + in_specs[NR:],
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=_bw_scratch_shapes(cfg, n_mlp, False),
             interpret=INTERPRET,
             compiler_params=_COMPILER_PARAMS,
-        )(*(inputs[:11] + g_in + inputs[11:]))
+        )(*(inputs[:NR] + g_in + inputs[NR:]))
 
     winfos, main_idx, color_idx = _windowable_infos(cfg, infos, cinfos)
     if not winfos:
         outs = call_general()
     else:
         K = _march_chunk(cfg, bw=True, windowed=True)
+        o_p, d_p, near_p, far_p, _gsel_p = _plan_cols(arrs)
         w0, fits_all = _window_plan(
-            cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], K, True,
+            cfg, o_p, d_p, near_p, far_p, K, True,
             winfos, RB,
         )
 
@@ -3356,15 +3517,15 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
             return pl.pallas_call(
                 kernel,
                 grid=(n_blocks,),
-                in_specs=in_specs[:11] + [w0_spec] + g_specs
-                + in_specs[11:],
+                in_specs=in_specs[:NR] + [w0_spec] + g_specs
+                + in_specs[NR:],
                 out_specs=out_specs,
                 out_shape=out_shape,
                 scratch_shapes=_bw_scratch_shapes(cfg, n_mlp, True,
                                                   w2_mode),
                 interpret=INTERPRET,
                 compiler_params=_COMPILER_PARAMS,
-            )(*(inputs[:11] + [table] + g_in + inputs[11:]))
+            )(*(inputs[:NR] + [table] + g_in + inputs[NR:]))
 
         def call_windowed():
             return call_with_table(
@@ -3377,7 +3538,7 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         w2maps = _w2_grid_maps(cfg, infos, cinfos, w2s) + (w2s,)
         if _w2_available(cfg, infos, cinfos, w2s):
             w0_2, fits2 = _w2_plan(
-                cfg, arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], K,
+                cfg, o_p, d_p, near_p, far_p, K,
                 True, w2maps[0], RB, w2s,
             )
             outs = jax.lax.cond(
