@@ -108,7 +108,7 @@ def make_sphere_scaffold(radius, res=64):
 
 def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False,
               tile=None, scaffold_radius=None, grid_kind="triplane",
-              grid_res=32, contract=False):
+              grid_res=32, contract=False, w3_auto_budget=False):
     from lightplane_tpu.ops.rays import default_tile
 
     if tile_order and tile is None:
@@ -122,6 +122,15 @@ def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False,
         make_sphere_scaffold(scaffold_radius)
         if scaffold_radius else None
     )
+    w3_budget = None
+    if w3_auto_budget:
+        # per-rig probe: the tightest W3 window budget whose plan fits
+        # this camera (one eager planner evaluation per candidate)
+        w3_budget = lt.suggest_w3_budget(
+            rays, grid, dp, num_samples=num_samples,
+            contract_coords=contract, tile_rays=tile_rays,
+        )
+        print(f"# w3_auto_budget -> {w3_budget}")
 
     def fwd(grid, mp, enc):
         r = dataclasses.replace(rays, encoding=enc)
@@ -129,7 +138,7 @@ def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False,
         return lt.lightplane_renderer(
             r, grid, d, num_samples=num_samples, gain=1.0, impl=impl,
             tile_rays=tile_rays, scaffold=scaffold,
-            contract_coords=contract,
+            contract_coords=contract, w3_budget=w3_budget,
         )
 
     def loss(grid, mp, enc):
@@ -198,6 +207,11 @@ def main():
     p.add_argument("--contract", action="store_true",
                    help="MeRF coordinate contraction (unbounded scenes)")
     p.add_argument(
+        "--w3_auto_budget", action="store_true",
+        help="probe the tightest-fitting W3 window budget for this rig "
+             "(lt.suggest_w3_budget) before compiling",
+    )
+    p.add_argument(
         "--scaffold_sweep", action="store_true",
         help="crossover mode: sweep scaffold sphere radius x num_samples "
              "at one image size and report speedup vs the ungated run "
@@ -257,6 +271,7 @@ def main():
                     scaffold_radius=args.scaffold_radius,
                     grid_kind=args.grid, grid_res=args.grid_res,
                     contract=args.contract,
+                    w3_auto_budget=args.w3_auto_budget,
                 )
             except Exception as e:
                 print(f"STATS,{impl}{label},{size},{size*size},ERROR,"

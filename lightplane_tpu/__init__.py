@@ -55,7 +55,7 @@ from .ops.naive_splatter import (
     lightplane_splatter_naive,
     lightplane_mlp_splatter_naive,
 )
-from .ops.renderer import lightplane_renderer
+from .ops.renderer import lightplane_renderer, suggest_w3_budget
 from .ops.splatter import lightplane_splatter, lightplane_mlp_splatter
 from .models.renderer_module import LightplaneRenderer
 from .models.splatter_module import LightplaneSplatter, LightplaneMLPSplatter

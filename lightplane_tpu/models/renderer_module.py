@@ -315,6 +315,7 @@ class LightplaneRenderer(nn.Module):
         rays_jitter_near_far: Optional[bool] = None,
         return_log_transmittance: Optional[bool] = None,
         image_size: Optional[Tuple[int, int]] = None,
+        w3_budget: Optional[Tuple[int, int, int]] = None,
     ):
         """Render; returns ``(ray_length, alpha, feature_render)``
         (reference ``renderer_module.py:419-563``).
@@ -435,7 +436,7 @@ class LightplaneRenderer(nn.Module):
                 grid_sizes=grid_sizes,
                 color_grid_sizes=color_grid_sizes,
                 **(
-                    {"tile_rays": tile_rays}
+                    {"tile_rays": tile_rays, "w3_budget": w3_budget}
                     if not self.use_naive_impl else {}
                 ),
             )

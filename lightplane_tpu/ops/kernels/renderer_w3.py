@@ -117,7 +117,7 @@ class _W3Geo:
         return self.D if self.Dz < 0 else self.Dz
 
 
-def _w3_geo(size, C) -> Optional[_W3Geo]:
+def _w3_geo(size, C, budget=None) -> Optional[_W3Geo]:
     """Kernel geometry for one (possibly batched) voxel or plane grid.
 
     Window extents flex to the grid (round 4: kills the alignment
@@ -136,6 +136,7 @@ def _w3_geo(size, C) -> Optional[_W3Geo]:
     grid-list mixing tiny (e.g. a coarse 8^3 pyramid level) and big
     sub-grids runs fused instead of dropping the whole list to the scan.
     """
+    bz, by, bx = budget if budget is not None else (W3_Z, W3_Y, W3_WX_MIN)
     b, d, h, w, _c = size
     ax = 128 // math.gcd(C, 128)
     dims = [(2, d), (1, h), (0, w)]
@@ -149,14 +150,14 @@ def _w3_geo(size, C) -> Optional[_W3Geo]:
         Dz, Hk, Wk = 1, sy, sx
     else:
         return None
-    wy = Hk if Hk <= W3_Y else W3_Y + (Hk - W3_Y) % 8
-    wx = -(-W3_WX_MIN // ax) * ax   # lane-aligned minimum width
+    wy = Hk if Hk <= by else by + (Hk - by) % 8
+    wx = -(-bx // ax) * ax   # lane-aligned minimum width
     if wx >= Wk:
         wx = Wk
     elif (Wk - wx) % ax:
         wx = Wk - ((Wk - wx) // ax) * ax
     kD = b * Dz
-    wz = min(W3_Z, Dz)
+    wz = min(bz, Dz)
     return _W3Geo(D=kD, H=Hk, W=Wk, C=C, WX=wx, AX=ax, WZ=wz, WY=wy,
                   src=src, batch=b, Dz=Dz)
 
@@ -172,12 +173,13 @@ def w3_geos(cfg, c_main: int, c_color: Optional[int]):
     """
     if getattr(cfg, "compute_dtype", "float32") == "bfloat16":
         return None  # f32 box scratch; bf16 grids keep the scan path
-    main = [_w3_geo(s, c_main) for s in cfg.grid_sizes]
+    budget = getattr(cfg, "w3_budget", None)
+    main = [_w3_geo(s, c_main, budget) for s in cfg.grid_sizes]
     if any(g is None for g in main):
         return None
     color = []
     if cfg.color_grid_sizes is not None:
-        color = [_w3_geo(s, c_color) for s in cfg.color_grid_sizes]
+        color = [_w3_geo(s, c_color, budget) for s in cfg.color_grid_sizes]
         if any(g is None for g in color):
             return None
     return main, color

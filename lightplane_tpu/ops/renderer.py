@@ -117,6 +117,12 @@ class _RenderCfg:
     # tile-ordered with a non-default tile (``tile_ray_order``/
     # ``default_tile``), so one block spans exactly one tile.
     ray_block_rays: Optional[int] = None
+    # W3 boxed-DMA window budget (WZ, WY, WX_MIN) cells, or None for the
+    # module defaults (renderer_w3.W3_Z/W3_Y/W3_WX_MIN).  Tighter budgets
+    # run faster but fit fewer camera rigs; :func:`suggest_w3_budget`
+    # probes the tightest candidate whose window plan fits a given ray
+    # batch (the runtime fit flag still guards correctness either way).
+    w3_budget: Optional[Tuple[int, int, int]] = None
 
     @property
     def tot_num_samples(self):
@@ -498,6 +504,174 @@ def _render_tail(cfg: _RenderCfg, geom, diff, nlt_mid):
     return depth_add, nlt, feat_add
 
 
+def _image_tile_reorder(rays, R, image_size, grid_sizes, color_grid_sizes,
+                        tile_rays):
+    """Tile-reorder a raster-order image ray batch (see
+    ``lightplane_renderer(image_size=...)``).  Returns
+    ``(rays, inverse_permutation_or_None, tile_rays)``."""
+    if image_size is None:
+        return rays, None, tile_rays
+    import numpy as np
+
+    from .rays import default_tile, tile_ray_order
+
+    h, w = int(image_size[0]), int(image_size[1])
+    if R != h * w:
+        raise ValueError(
+            f"image_size {image_size} does not match the ray count "
+            f"({R} != {h * w})"
+        )
+    tile = default_tile(h, w)
+    # beyond-VMEM grids run the W3 boxed-DMA kernels, whose ray
+    # blocks are sized for compact square-ish pixel tiles
+    from .kernels.renderer_pallas import MAX_CELLS_PER_GRID
+
+    all_sizes = list(grid_sizes) + list(color_grid_sizes or ())
+    if any(
+        int(np.prod(gs[:-1])) > MAX_CELLS_PER_GRID
+        for gs in all_sizes
+    ):
+        from .kernels.renderer_w3 import W3_TILE
+
+        if h % W3_TILE[0] == 0 and w % W3_TILE[1] == 0:
+            tile = W3_TILE
+    inv = None
+    order_np, inv_np = tile_ray_order(h, w, tile=tile)
+    if not np.array_equal(order_np, np.arange(R)):
+        rays = rays[jnp.asarray(order_np)]
+        inv = jnp.asarray(inv_np)
+        if tile_rays is None:
+            tile_rays = tile[0] * tile[1]
+    return rays, inv, tile_rays
+
+
+# Candidate (WZ, WY, WX_MIN) window budgets, tightest first.  The round-4
+# on-chip sweep at the 64^3 x 32ch / 256^2 / 256-sample benchmark measured
+# 428k rays/s fwd+bwd at (12, 16, 12) vs 307k at the (16, 24, 16) default
+# (scratch/PERF_NOTES.md) — tighter budgets are faster but fit fewer
+# camera rigs.
+W3_BUDGET_CANDIDATES = (
+    (12, 16, 12),
+    (16, 16, 16),
+    (16, 24, 16),
+    (24, 32, 24),
+)
+
+
+def suggest_w3_budget(
+    rays: Rays,
+    grid,
+    decoder_params: DecoderParams,
+    num_samples: int,
+    num_samples_inf: int = 0,
+    disparity_at_inf: float = 1e-5,
+    contract_coords: bool = False,
+    color_grid=None,
+    grid_sizes=None,
+    color_grid_sizes=None,
+    tile_rays: Optional[int] = None,
+    image_size: Optional[Tuple[int, int]] = None,
+    candidates=W3_BUDGET_CANDIDATES,
+) -> Optional[Tuple[int, int, int]]:
+    """Tightest W3 window budget whose plan fits this ray batch.
+
+    Probes each candidate ``(WZ, WY, WX_MIN)`` (cheapest first) against
+    the W3 window planner's fit flags for BOTH the forward and backward
+    chunkings, and returns the first that fits — pass it as
+    ``lightplane_renderer(..., w3_budget=...)``.  Returns ``None`` when
+    the config is not a W3 (beyond-VMEM) config or no candidate fits
+    (use the defaults; the runtime fit flag still guards correctness).
+
+    EAGER-ONLY: the fit flags are evaluated concretely, so this cannot be
+    called under ``jit``.  The intended pattern is one probe per camera
+    rig — or per batch, since each distinct budget is one compiled
+    variant and the candidate ladder bounds the variant count.
+    """
+    from .kernels import renderer_pallas as rp
+    from .kernels import renderer_w3 as rw3
+
+    if grid_sizes is None:
+        gl = grid if isinstance(grid, (list, tuple)) else [grid]
+        grid_sizes = tuple(tuple(int(s) for s in g.shape) for g in gl)
+    else:
+        grid_sizes = tuple(tuple(int(s) for s in gs) for gs in grid_sizes)
+    if color_grid_sizes is None and color_grid is not None:
+        cgl = (
+            color_grid if isinstance(color_grid, (list, tuple))
+            else [color_grid]
+        )
+        color_grid_sizes = tuple(
+            tuple(int(s) for s in g.shape) for g in cgl
+        )
+    elif color_grid_sizes is not None:
+        color_grid_sizes = tuple(
+            tuple(int(s) for s in gs) for gs in color_grid_sizes
+        )
+
+    # channel counts as the kernels see them (t1 fold, w3_supported)
+    c_main = int(grid_sizes[0][-1])
+    if color_grid_sizes is None and len(decoder_params.n_hidden_trunk) > 1:
+        c_main = int(decoder_params.n_hidden_trunk[1])
+    c_color = (
+        int(color_grid_sizes[0][-1]) if color_grid_sizes else None
+    )
+
+    R = rays.directions.shape[0]
+    rays, _inv, tile_rays = _image_tile_reorder(
+        rays, R, image_size, grid_sizes, color_grid_sizes, tile_rays
+    )
+
+    ordered = sorted(candidates, key=lambda b: b[0] * b[1] * b[2])
+    geom = (
+        rays.directions, rays.origins, rays.near, rays.far,
+        rays.grid_idx.astype(jnp.int32), None,
+        jnp.asarray(0, jnp.int32),
+    )
+    for budget in ordered:
+        cfg = _RenderCfg(
+            num_samples=int(num_samples),
+            num_samples_inf=int(num_samples_inf),
+            gain=1.0,
+            mask_out_of_bounds_samples=False,
+            contract_coords=bool(contract_coords),
+            disparity_at_inf=float(disparity_at_inf),
+            inject_noise_sigma=0.0,
+            grid_sizes=grid_sizes,
+            color_grid_sizes=color_grid_sizes,
+            n_hidden_trunk=decoder_params.n_hidden_trunk,
+            n_hidden_opacity=decoder_params.n_hidden_opacity,
+            n_hidden_color=decoder_params.n_hidden_color,
+            use_scaffold=False,
+            scaffold_size=None,
+            num_rays_noise=R,
+            ray_block_rays=int(tile_rays) if tile_rays else None,
+            w3_budget=tuple(int(x) for x in budget),
+        )
+        if not rp._w3_mode(cfg):
+            return None  # not a W3 config at all
+        pair = rw3.w3_geos(cfg, c_main, c_color)
+        if pair is None:
+            continue  # alignment-infeasible at this channel count
+        w3geos = list(pair[0]) + list(pair[1])
+        RB = rp._ray_block(cfg)
+        enc = jnp.zeros((R, cfg.n_hidden_color[0]), jnp.float32)
+        arrs, _seed, _R, _R_pad = rp._ray_inputs(cfg, geom, enc, RB)
+        o_p, d_p, near_p, far_p, gsel_p = rp._plan_cols(arrs)
+        fits = True
+        for bw in (False, True):
+            K = rp._march_chunk(cfg, bw=bw)
+            _w0, fit = rw3.w3_plan(
+                cfg, o_p, d_p, near_p, far_p, K, bw, w3geos, RB,
+                gsel=gsel_p,
+            )
+            fits = fits and bool(fit)
+            if not fits:
+                break
+        if fits:
+            return tuple(int(x) for x in budget)
+    return None
+
+
 def _use_pallas(cfg, impl: str) -> bool:
     from .kernels import renderer_pallas as rp
 
@@ -535,6 +709,7 @@ def lightplane_renderer(
     impl: str = "auto",
     tile_rays: Optional[int] = None,
     image_size: Optional[Tuple[int, int]] = None,
+    w3_budget: Optional[Tuple[int, int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused differentiable Emission-Absorption renderer.
 
@@ -566,38 +741,9 @@ def lightplane_renderer(
     )
     R = rays.directions.shape[0]
 
-    inv = None
-    if image_size is not None:
-        import numpy as np
-
-        from .rays import default_tile, tile_ray_order
-
-        h, w = int(image_size[0]), int(image_size[1])
-        if R != h * w:
-            raise ValueError(
-                f"image_size {image_size} does not match the ray count "
-                f"({R} != {h * w})"
-            )
-        tile = default_tile(h, w)
-        # beyond-VMEM grids run the W3 boxed-DMA kernels, whose ray
-        # blocks are sized for compact square-ish pixel tiles
-        from .kernels.renderer_pallas import MAX_CELLS_PER_GRID
-
-        all_sizes = list(grid_sizes) + list(color_grid_sizes or ())
-        if any(
-            int(np.prod(gs[:-1])) > MAX_CELLS_PER_GRID
-            for gs in all_sizes
-        ):
-            from .kernels.renderer_w3 import W3_TILE
-
-            if h % W3_TILE[0] == 0 and w % W3_TILE[1] == 0:
-                tile = W3_TILE
-        order_np, inv_np = tile_ray_order(h, w, tile=tile)
-        if not np.array_equal(order_np, np.arange(R)):
-            rays = rays[jnp.asarray(order_np)]
-            inv = jnp.asarray(inv_np)
-            if tile_rays is None:
-                tile_rays = tile[0] * tile[1]
+    rays, inv, tile_rays = _image_tile_reorder(
+        rays, R, image_size, grid_sizes, color_grid_sizes, tile_rays
+    )
 
     if inject_noise_sigma > 0.0 and inject_noise_seed is None:
         raise ValueError(
@@ -625,6 +771,10 @@ def lightplane_renderer(
         ),
         num_rays_noise=R,
         ray_block_rays=int(tile_rays) if tile_rays else None,
+        w3_budget=(
+            tuple(int(x) for x in w3_budget)
+            if w3_budget is not None else None
+        ),
     )
 
     rays_encoding = rays.encoding

@@ -712,3 +712,41 @@ def test_pallas_w2_small_tile_shape(monkeypatch):
         compare_one(a, b, f"w2s/{nm}")
     for nm, a, b in zip(["g_grid", "g_mlp", "g_enc"], g_s, g_p):
         compare_one(a, b, f"w2s/grad_{nm}")
+
+
+def test_w3_budget_autotune():
+    """suggest_w3_budget picks the tightest candidate window budget whose
+    plan fits the rig, and rendering with it (W3 kernels, interpret)
+    matches the scan oracle.  Incoherent random rays fit no candidate ->
+    None (the defaults + runtime fit fallback apply)."""
+    from lightplane_tpu import suggest_w3_budget
+    from lightplane_tpu.ops.renderer import W3_BUDGET_CANDIDATES
+
+    res, chn = 32, 16
+    assert res ** 3 > rp.MAX_CELLS_PER_GRID
+    key = jax.random.PRNGKey(17)
+    k1, k2, k3 = jax.random.split(key, 3)
+    dp = random_decoder_params(k1, input_chn=chn, hidden_chn=16)
+    rays = _w3_camera_rays(dp.n_hidden_color[0], k2)
+    grid = random_grid(k3, 1, chn, res, "voxel", scale=0.5)
+    kw = dict(num_samples=16, gain=1.2)
+
+    budget = suggest_w3_budget(rays, grid, dp, num_samples=16)
+    assert budget is not None
+    # the 8x16-pixel narrow-fov rig fits a tighter-than-default budget
+    defaults = (16, 24, 16)
+    assert budget[0] * budget[1] * budget[2] <= (
+        defaults[0] * defaults[1] * defaults[2]
+    )
+    assert budget in W3_BUDGET_CANDIDATES
+
+    out_s = lt.lightplane_renderer(rays, grid, dp, impl="scan", **kw)
+    out_p = lt.lightplane_renderer(
+        rays, grid, dp, impl="pallas", w3_budget=budget, **kw
+    )
+    for nm, a, b in zip(["depth", "nlt", "feat"], out_s, out_p):
+        compare_one(a, b, f"w3_budget/{nm}")
+
+    # incoherent rays: no candidate fits
+    rr = random_rays(k2, 48, 1, encoding_dim=dp.n_hidden_color[0])
+    assert suggest_w3_budget(rr, grid, dp, num_samples=16) is None
