@@ -427,20 +427,53 @@ def main_memory():
         )
         order, _ = lt.tile_ray_order(size, size)
 
-        from benchmarks.splatter_speed import make_rays as make_cam_rays
+        from lightplane_tpu.utils.cameras import (
+            pixel_ray_directions,
+            sphere_cameras,
+        )
 
         def peak_for(n_img):
-            rays5 = make_cam_rays(jax.random.PRNGKey(1), n_img, size, chn)
+            # Rays are generated ON DEVICE inside the step from the tiny
+            # per-image camera matrices — the production batched-render
+            # shape (a real pipeline never holds per-pixel ray arrays as
+            # inputs).  Per-image feature maps ride in [C, H, W] layout
+            # (H, W on the tiled minor dims: no 128-lane padding tax;
+            # [H, W, C] would pad C=32 -> 128, 4x).
+            cams = jnp.asarray(
+                sphere_cameras(n_img, radius=2.5, elevation_deg=25.0)
+            )                                           # [n, 4, 4]
+            dirs_cam = jnp.asarray(
+                pixel_ray_directions(size, size, size * 1.1).reshape(-1, 3)
+            )                                           # [size^2, 3] shared
             base = np.arange(n_img)[:, None] * (size * size)
             full_order = jnp.asarray(
                 (base + np.asarray(order)[None]).ravel()
             )
-            rays5 = jax.tree_util.tree_map(
-                lambda a: a[full_order], rays5
+            R = n_img * size * size
+            enc_chw = (
+                jax.random.normal(
+                    jax.random.PRNGKey(1), (n_img, chn, size, size)
+                ) * 0.1
             )
 
-            def step_loss(encoding, mlp_params):
-                r = dataclasses.replace(rays5, encoding=encoding)
+            def step_loss(enc_chw, mlp_params):
+                dirs = jnp.einsum(
+                    "rk,nmk->nrm", dirs_cam, cams[:, :3, :3]
+                ).reshape(R, 3)
+                origins = jnp.broadcast_to(
+                    cams[:, None, :3, 3], (n_img, size * size, 3)
+                ).reshape(R, 3)
+                enc = jnp.transpose(
+                    enc_chw, (0, 2, 3, 1)
+                ).reshape(R, chn)
+                r = lt.Rays(
+                    directions=dirs[full_order],
+                    origins=origins[full_order],
+                    grid_idx=jnp.zeros((R,), jnp.int32),
+                    near=jnp.full((R,), 0.5),
+                    far=jnp.full((R,), 3.5),
+                    encoding=enc[full_order],
+                )
                 # 2D -> 3D: splat per-ray features into a fresh triplane
                 lifted = lt.lightplane_splatter(
                     r, out_sizes, num_samples=96, return_list=True,
@@ -449,7 +482,7 @@ def main_memory():
                 d = dataclasses.replace(dp5, mlp_params=mlp_params)
                 r2 = dataclasses.replace(
                     r,
-                    encoding=jnp.zeros((r.directions.shape[0], HIDDEN)),
+                    encoding=jnp.zeros((R, HIDDEN)),
                 )
                 depth, nlt, feat = lt.lightplane_renderer(
                     r2, lifted, d, num_samples=256, gain=1.0
@@ -457,7 +490,7 @@ def main_memory():
                 return jnp.sum(feat ** 2) + jnp.sum(nlt) + jnp.sum(depth)
 
             c = jax.jit(jax.grad(step_loss, argnums=(0, 1))).lower(
-                rays5.encoding, dp5.mlp_params
+                enc_chw, dp5.mlp_params
             ).compile()
             return analysis_mem_mb(c)
 
