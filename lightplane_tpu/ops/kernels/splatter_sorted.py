@@ -52,6 +52,7 @@ rows, un-sorted outside with one gather and summed over steps per ray.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import List, Optional, Tuple
 
 import jax
@@ -114,6 +115,25 @@ class _SortedGeo:
     # dynamic window lane offset (``dx * CPAD``, dx a multiple of 8)
     # 128-aligned.
     CPAD: int = CPAD_MAX
+    # x-supercell extent (cells) and segment count (round 5).  The slab
+    # box's full-x RMW traffic is view-count-independent (~2 x box bytes
+    # per touched slab), which dominates SMALL ray batches; x-segmented
+    # supercells bound each visit's box to (SUPX + OCT) x-cells (the +OCT
+    # halo absorbs bins whose WX window crosses the segment edge — the
+    # overlapped halo columns are RMW'd by both neighbours, race-free on
+    # the sequential grid).  SUPX = 0 means one full-x segment — the
+    # pre-round-5 behaviour, bit-identical.  SUPX % 8 == 0 keeps the
+    # dynamic box lane offset (bx * CPAD) 128-aligned.
+    SUPX: int = 0
+    nsx: int = 1
+
+    @property
+    def supx(self):           # effective x-supercell extent (cells)
+        return self.SUPX or (-(-self.Wk // OCT) * OCT)
+
+    @property
+    def BXL(self):            # box x*channel lane extent (+OCT x halo)
+        return (self.supx + OCT) * self.CPAD
 
     @property
     def Dk(self):
@@ -165,13 +185,14 @@ class _SortedGeo:
 
     @property
     def n_sup(self):
-        return self.nsz * self.nsy
+        return self.nsz * self.nsy * self.nsx
 
     @property
     def n_loc_x(self):
-        # x-octets that contain real cells (the +OCT halo of PXp never
-        # holds a sample's lower corner, so it gets no octet)
-        return -(-self.Wk // OCT)
+        # x-octets per supercell segment (for the full-x default this is
+        # every x-octet that can contain a sample's lower corner; the
+        # +OCT halo of PXp never holds one, so it gets no octet)
+        return self.supx // OCT
 
     @property
     def n_loc(self):
@@ -219,7 +240,18 @@ def sorted_geos(cfg) -> Optional[List[_SortedGeo]]:
             return None
         src, Dz, Hk, Wk = ka
         Dk = b * (Dz + 1) if b > 1 else Dz
-        pxp = -(-Wk // OCT) * OCT + OCT
+        full_x = -(-Wk // OCT) * OCT
+        # LIGHTPLANE_SORTED_SUPX: opt-in x-supercell extent (cells; 0 =
+        # one full-x segment, the default).  Tuning knob for small ray
+        # batches, where the full-x slab RMW traffic dominates.
+        supx_env = int(_os.environ.get("LIGHTPLANE_SORTED_SUPX", "0"))
+        if supx_env > 0:
+            supx = min(full_x, max(OCT, (supx_env // OCT) * OCT))
+        else:
+            supx = full_x
+        nsx = -(-Wk // supx)
+        pxp = nsx * supx + OCT
+        bxl_cells = supx + OCT
         zcap = max(OCT, -(-Dk // OCT) * OCT)
         ycap = max(OCT, -(-Hk // OCT) * OCT)
         supz = supy = 0
@@ -228,7 +260,7 @@ def sorted_geos(cfg) -> Optional[List[_SortedGeo]]:
             sy = min(s, ycap)
             bz = sz + 1 if Dk > 1 else 1
             by8 = -(-(sy + 1) // 8) * 8
-            if bz * by8 * pxp * cpad * 4 <= _BOX_BUDGET:
+            if bz * by8 * bxl_cells * cpad * 4 <= _BOX_BUDGET:
                 supz, supy = sz, sy
                 break
         if supy == 0:
@@ -240,7 +272,7 @@ def sorted_geos(cfg) -> Optional[List[_SortedGeo]]:
             B=b, gD=d, gH=h, gW=w, C=c, C1=c + 1, src=src,
             Dz=Dz, Hk=Hk, Wk=Wk, SUPZ=supz, SUPY=supy, nsz=nsz, nsy=nsy,
             PZ=nsz * supz + 1, PY=(nsy - 1) * supy + by8, PXp=pxp,
-            CPAD=cpad,
+            CPAD=cpad, SUPX=supx, nsx=nsx,
         )
         total += geo.acc_bytes
         geos.append(geo)
@@ -373,10 +405,11 @@ def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True,
     cy = jnp.clip(jnp.floor(fy), 0, geo.Hk - 1).astype(jnp.int32)
     cx = jnp.clip(jnp.floor(fx), 0, geo.Wk - 1).astype(jnp.int32)
     sz, sy = cz // geo.SUPZ, cy // geo.SUPY
+    sx = cx // geo.supx
     lz = (cz // OCT) % lz_n if geo.Dk > 1 else cz * 0
     ly = (cy // OCT) % ly_n
-    lx = cx // OCT
-    key = ((sz * geo.nsy + sy) * geo.n_loc
+    lx = (cx // OCT) % lx_n
+    key = (((sz * geo.nsy + sy) * geo.nsx + sx) * geo.n_loc
            + (lz * ly_n + ly) * lx_n + lx)
 
     # dead samples -> trailing bucket (sorted past every live key, binned
@@ -540,8 +573,18 @@ def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True,
     in_use = g < n_groups_used
     first = (g == jnp.take(gstart, sup)) & in_use
     last = (g == jnp.take(gstart, sup + 1) - 1) & in_use
-    s_z = sup // geo.nsy
-    s_y = sup % geo.nsy
+    s_z = sup // (geo.nsy * geo.nsx)
+    s_y = (sup // geo.nsx) % geo.nsy
+    s_x = sup % geo.nsx
+    bx_g = s_x * geo.supx                       # box x start (cells)
+    if geo.nsx > 1:
+        # the kernels' x hats are BOX-LOCAL when segmented: shift each
+        # group's sample x coordinates by its segment start (pad slots'
+        # _BIG sentinel stays effectively _BIG)
+        fxT = (
+            fxT.reshape(n_groups_cap, BIN, GBINS)
+            - bx_g.astype(jnp.float32)[:, None, None]
+        ).reshape(n_groups_cap * BIN, GBINS)
     oct_g = bin_oct.reshape(n_groups_cap, GBINS)
     loc = oct_g % geo.n_loc
     dz = (loc // (ly_n * lx_n)) * OCT
@@ -553,8 +596,8 @@ def sorted_plan(cfg, geo: _SortedGeo, geom, want_pos: bool = True,
         in_use.astype(jnp.int32),
     ]
     table = jnp.concatenate(
-        [jnp.stack(cols, axis=1), dz, dy, dx], axis=1
-    ).astype(jnp.int32)                                        # [ngc, 5+96]
+        [jnp.stack(cols, axis=1), dz, dy, dx, bx_g[:, None]], axis=1
+    ).astype(jnp.int32)                                     # [ngc, 6+96]
     ngc8 = -(-n_groups_cap // 8) * 8
     table = jnp.pad(
         table, ((0, ngc8 - n_groups_cap), (0, 128 - table.shape[1]))
@@ -622,6 +665,17 @@ def _rep_vals(geo: _SortedGeo, vals_q):
     return pltpu.repeat(vals_q, geo.WX, axis=1)
 
 
+def _box_x_slice(geo: _SortedGeo, tab_ref, r):
+    """The box's x*channel lane slice of the padded accumulator: the
+    whole extent for the full-x default, or the group's segment (dynamic
+    128-aligned offset ``bx * CPAD``, static ``BXL`` width) when
+    x-segmented."""
+    if geo.nsx <= 1:
+        return slice(None)
+    bx = tab_ref[r, 5 + 3 * GBINS]
+    return pl.ds(pl.multiple_of(bx * geo.CPAD, 128), geo.BXL)
+
+
 def _build_fw_kernel(geo: _SortedGeo):
     BZ, BY = geo.BZ, geo.BY
     WZ, WY, WX = geo.WZ, geo.WY, geo.WX
@@ -637,13 +691,15 @@ def _build_fw_kernel(geo: _SortedGeo):
 
         @pl.when(tab_ref[r, 2] == 1)
         def _():
-            # read-modify-write: neighbouring slabs overlap at the +1 z/y
-            # halo planes, and earlier slabs' halo spill must be kept.
-            # Slabs run in sorted order on one core, so this is race-free.
+            # read-modify-write: neighbouring supercells overlap at the
+            # +1 z/y halo planes (and the +OCT x halo when segmented),
+            # and earlier cells' halo spill must be kept.  Supercells run
+            # in sorted order on one core, so this is race-free.
             cp = pltpu.make_async_copy(
                 grid_out.at[
                     pl.ds(bz, BZ),
-                    pl.ds(pl.multiple_of(by, 8), BY), slice(None),
+                    pl.ds(pl.multiple_of(by, 8), BY),
+                    _box_x_slice(geo, tab_ref, r),
                 ],
                 scratch, sem,
             )
@@ -690,7 +746,8 @@ def _build_fw_kernel(geo: _SortedGeo):
                 scratch,
                 grid_out.at[
                     pl.ds(bz, BZ),
-                    pl.ds(pl.multiple_of(by, 8), BY), slice(None),
+                    pl.ds(pl.multiple_of(by, 8), BY),
+                    _box_x_slice(geo, tab_ref, r),
                 ],
                 sem,
             )
@@ -718,7 +775,8 @@ def _build_bw_kernel(geo: _SortedGeo):
             cp = pltpu.make_async_copy(
                 ggrid_hbm.at[
                     pl.ds(bz, BZ),
-                    pl.ds(pl.multiple_of(by, 8), BY), slice(None),
+                    pl.ds(pl.multiple_of(by, 8), BY),
+                    _box_x_slice(geo, tab_ref, r),
                 ],
                 scratch, sem,
             )
@@ -842,7 +900,7 @@ def sorted_splat_acc(cfg, geo, plan, vals, acc):
             acc, vals, plan["fzT"],
         ),
         scratch_shapes=[
-            pltpu.VMEM((BZ, BY, geo.LX), jnp.float32),
+            pltpu.VMEM((BZ, BY, geo.BXL), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={5: 0},
@@ -932,7 +990,7 @@ def sorted_splat_bwd(cfg, geo, plan, R, gg, per_sample: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=_sds((Npad, CPADP), jnp.float32, gg, plan["fzT"]),
         scratch_shapes=[
-            pltpu.VMEM((BZ, BY, geo.LX), jnp.float32),
+            pltpu.VMEM((BZ, BY, geo.BXL), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=rp._COMPILER_PARAMS,

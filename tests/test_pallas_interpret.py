@@ -750,3 +750,24 @@ def test_w3_budget_autotune():
     # incoherent rays: no candidate fits
     rr = random_rays(k2, 48, 1, encoding_dim=dp.n_hidden_color[0])
     assert suggest_w3_budget(rr, grid, dp, num_samples=16) is None
+
+
+def test_sorted_splatter_x_segmented(monkeypatch):
+    """x-segmented supercells (round 5, ``LIGHTPLANE_SORTED_SUPX``): each
+    z/y slab's full-x box splits into bounded x segments with a +OCT halo
+    RMW'd by both neighbours.  Must reproduce the full-x results exactly
+    (the default SUPX=0 path is covered by every other sorted test)."""
+    from lightplane_tpu.ops.kernels import splatter_sorted as ss
+
+    monkeypatch.setenv("LIGHTPLANE_SORTED_SUPX", "16")
+
+    # the test grid (Wk=20 -> full_x=24) genuinely segments at SUPX=16
+    class _Cfg:
+        output_grid_sizes = ((1, 12, 16, 20, 4),)
+        out_chn = 4
+
+    geos = ss.sorted_geos(_Cfg)
+    assert geos is not None and geos[0].nsx == 2, geos
+
+    # reuse the non-MLP sorted parity body under the segmented env
+    test_sorted_splatter_matches_scan(False)
