@@ -251,9 +251,17 @@ def main(argv=None):
     ap.add_argument("--report", default="/tmp/lt_exhaustive_report.json")
     ap.add_argument("--resume", action="store_true",
                     help="skip config indices already in the report")
+    ap.add_argument("--splatter", action="store_true",
+                    help="run the splatter cartesian instead of the "
+                         "renderer one")
     args = ap.parse_args(argv)
 
-    configs = exhaustive_configs()
+    if args.splatter:
+        configs = splatter_exhaustive_configs()
+        runner = run_one_splatter_config
+    else:
+        configs = exhaustive_configs()
+        runner = run_one_config
     sel = _shard_select(configs, args.shard)
     if args.limit:
         sel = sel[: args.limit]
@@ -273,7 +281,7 @@ def main(argv=None):
         if ci in done:
             continue
         t1 = time.time()
-        fails = run_one_config(cfg, args.seeds)
+        fails = runner(cfg, args.seeds)
         n_run += 1
         done[ci] = len(fails)
         if fails:
@@ -319,6 +327,200 @@ def main(argv=None):
         flush=True,
     )
     return 1 if failures else 0
+
+
+
+
+# ---------------------------------------------------------------------------
+# Splatter exhaustive cartesian (reference test_splatter_with_autograd.py:
+# 37-53 axes, shapes shrunk for CPU; the reference's feat-dim constraints
+# are structural here — the no-MLP path always splats enc_dim == out_chn)
+# ---------------------------------------------------------------------------
+
+SPLAT_AXES = dict(
+    contract_coords=[False, True],
+    mask_out_of_bounds_samples=[False, True],
+    use_input_grid=[False, True],       # input_grid_size (MLP prior)
+    n_rays=[24, 1],                     # reference sweeps 128 and 1
+    num_samples_inf=[3, 0],
+    grid_type=["voxel", "triplane"],    # is_triplane
+    use_mlp=[True, False],
+    n_layers=[2, 3],
+    out_chn=[16, 32],                   # feat_dim
+)
+
+SPLAT_BASE = dict(
+    batch_size=2,
+    num_samples=8,
+    resolution=5,
+)
+
+
+def splatter_exhaustive_configs():
+    keys = list(SPLAT_AXES.keys())
+    seen = set()
+    out = []
+    for vals in itertools.product(*SPLAT_AXES.values()):
+        cfg = dict(zip(keys, vals))
+        if cfg["use_input_grid"] != cfg["use_mlp"]:
+            # reference constraints: an input grid requires the MLP, and
+            # lightplane_mlp_splatter REQUIRES an input grid (the
+            # reference sweep skips every input_grid_size=None combo via
+            # its always-true use_tensor_grid gate)
+            continue
+        if not cfg["use_mlp"]:
+            cfg["n_layers"] = 0         # MLP depth is moot -> dedupe
+        sig = tuple(sorted(cfg.items()))
+        if sig in seen:
+            continue
+        seen.add(sig)
+        out.append(dict(SPLAT_BASE, **cfg))
+    return out
+
+
+def run_one_splatter_config(cfg, seeds):
+    """Naive-vs-fused splatter parity for one config; returns failure
+    strings.  One jit per (config, impl), reused across seeds."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightplane_tpu import (
+        lightplane_mlp_splatter,
+        lightplane_mlp_splatter_naive,
+        lightplane_splatter,
+        lightplane_splatter_naive,
+    )
+    from .utils import random_grid, random_rays, random_splatter_params
+
+    failures = []
+    jitted = {}
+    B, r, C = cfg["batch_size"], cfg["resolution"], cfg["out_chn"]
+    if cfg["grid_type"] == "voxel":
+        out_sizes = [(B, r, r, r, C)]
+    else:
+        out_sizes = [(B, 1, r, r, C), (B, r, 1, r, C), (B, r, r, 1, C)]
+    kwargs = dict(
+        num_samples=cfg["num_samples"],
+        num_samples_inf=cfg["num_samples_inf"],
+        mask_out_of_bounds_samples=cfg["mask_out_of_bounds_samples"],
+        contract_coords=cfg["contract_coords"],
+        return_list=False,
+    )
+
+    for seed in range(seeds):
+        key = jax.random.PRNGKey(seed)
+        k_rays, k_igrid, k_mlp = jax.random.split(key, 3)
+        if cfg["use_mlp"]:
+            enc_dim = 8
+            sp = random_splatter_params(
+                k_mlp, input_chn=enc_dim, hidden_chn=16, out_chn=C,
+                n_layers=cfg["n_layers"],
+            )
+            input_grid = (
+                random_grid(k_igrid, B, enc_dim, r, cfg["grid_type"],
+                            scale=0.5)
+                if cfg["use_input_grid"] else None
+            )
+        else:
+            enc_dim = C
+            sp, input_grid = None, None
+        rays = random_rays(k_rays, cfg["n_rays"], B, encoding_dim=enc_dim)
+
+        if cfg["use_mlp"]:
+            def run(fn, rays_in, enc, ig, mlp):
+                rays_l = dataclasses.replace(rays_in, encoding=enc)
+                return fn(
+                    rays_l, out_sizes,
+                    dataclasses.replace(sp, mlp_params=mlp), ig, **kwargs,
+                )
+
+            args = (rays, rays.encoding, input_grid, sp.mlp_params)
+            argnums = (1, 3) if input_grid is None else (1, 2, 3)
+            names = (
+                ["enc", "mlp"] if input_grid is None
+                else ["enc", "input_grid", "mlp"]
+            )
+            fns = dict(naive=lightplane_mlp_splatter_naive,
+                       fused=lightplane_mlp_splatter)
+        else:
+            def run(fn, rays_in, enc):
+                rays_l = dataclasses.replace(rays_in, encoding=enc)
+                return fn(rays_l, out_sizes, **kwargs)
+
+            args = (rays, rays.encoding)
+            argnums = (1,)
+            names = ["enc"]
+            fns = dict(naive=lightplane_splatter_naive,
+                       fused=lightplane_splatter)
+
+        proj = jax.random.normal(
+            jax.random.PRNGKey(1000 + seed),
+            (sum(int(np_prod(s[:-1])) for s in out_sizes), C),
+        )
+
+        outs, grads = {}, {}
+        for nm, fn in fns.items():
+            if nm not in jitted:
+                def fw(rays_in, *a, _fn=fn):
+                    return run(_fn, rays_in, *a)
+
+                def loss(rays_in, *a, _fn=fn):
+                    return jnp.sum(
+                        a[-1] * run(_fn, rays_in, *a[:-1])
+                    )
+
+                jitted[nm] = (
+                    jax.jit(fw),
+                    jax.jit(jax.grad(
+                        loss, argnums=tuple(i for i in argnums)
+                    )),
+                )
+            fwj, gradj = jitted[nm]
+            outs[nm] = fwj(*args)
+            grads[nm] = gradj(*args, proj)
+
+        try:
+            compare_one(outs["naive"], outs["fused"], f"s{seed}/grid")
+        except AssertionError as e:
+            failures.append(str(e))
+        for name, a, b in zip(names, grads["naive"], grads["fused"]):
+            try:
+                compare_one(a, b, f"s{seed}/grad_{name}")
+            except AssertionError as e:
+                failures.append(str(e))
+    return failures
+
+
+def np_prod(xs):
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
+
+
+@pytest.mark.skipif(
+    not os.environ.get("LT_EXHAUSTIVE"),
+    reason="exhaustive cartesian sweep is opt-in: set LT_EXHAUSTIVE=1",
+)
+def test_exhaustive_splatter_parity():
+    configs = splatter_exhaustive_configs()
+    sel = _shard_select(configs, os.environ.get("LT_EXHAUSTIVE_SHARD", ""))
+    limit = int(os.environ.get("LT_EXHAUSTIVE_LIMIT", "0"))
+    if limit:
+        sel = sel[:limit]
+    seeds = int(os.environ.get("LT_EXHAUSTIVE_SEEDS", "3"))
+    all_failures = {}
+    for ci, cfg in sel:
+        fails = run_one_splatter_config(cfg, seeds)
+        if fails:
+            all_failures[ci] = (cfg, fails)
+    assert not all_failures, (
+        f"{len(all_failures)} / {len(sel)} splatter configs failed: "
+        + json.dumps(
+            {str(k): v[1] for k, v in list(all_failures.items())[:10]},
+            indent=2, default=str,
+        )
+    )
 
 
 if __name__ == "__main__":
