@@ -266,15 +266,53 @@ def main(argv=None):
         return (base[:, None] + jnp.arange(SPAN)[None, :]).reshape(-1)
 
     def render_with(params, rays, scaffold, num_samples=None,
-                    image_size=None):
+                    image_size=None, w3_budget=None):
         # image_size engages the module's tile-reorder: rays go in (and
         # outputs come back) in raster order; internally the module
         # renders in adaptive pixel tiles sized to the kernels' blocks
         return renderer.apply(
             {"params": params["mlp"]}, rays, params["grid"],
             scaffold=scaffold, num_samples=num_samples,
-            image_size=image_size,
+            image_size=image_size, w3_budget=w3_budget,
         )
+
+    def probe_w3_budget(params, num_samples):
+        """Per-rig W3 window budget for whole-image renders: once the
+        coarse-to-fine grid grows beyond the VMEM cap, probe the tightest
+        candidate whose window plan fits this dataset's cameras
+        (lt.suggest_w3_budget; one eager planner pass per candidate).
+        Only image-mode renders use it — span/patch batches have a
+        different block footprint and keep the defaults."""
+        from lightplane_tpu.ops.kernels.renderer_pallas import (
+            MAX_CELLS_PER_GRID,
+        )
+
+        if not any(
+            int(np.prod(g.shape[:-1])) > MAX_CELLS_PER_GRID
+            for g in params["grid"]
+        ):
+            return None
+        o, d, _ = ds.image(0)
+        n = o.shape[0]
+        rays = lt.Rays(
+            directions=jnp.asarray(d), origins=jnp.asarray(o),
+            grid_idx=jnp.zeros((n,), jnp.int32),
+            near=jnp.full((n,), ds.near, jnp.float32),
+            far=jnp.full((n,), ds.far, jnp.float32),
+        )
+        dp = renderer.apply(
+            {"params": params["mlp"]}, method="get_decoder_params"
+        )
+        b = lt.suggest_w3_budget(
+            rays, params["grid"], dp,
+            num_samples=num_samples,
+            num_samples_inf=args.num_samples_inf,
+            contract_coords=args.contract_coords,
+            image_size=(ds.height, ds.width),
+        )
+        if b is not None:
+            print(f"[fit] W3 window budget for this rig: {b}")
+        return b
 
     @functools.partial(jax.jit, static_argnames=("num_samples",))
     def train_step(params, opt_state, idx, scaffold, num_samples):
@@ -312,8 +350,11 @@ def main(argv=None):
         random_conv_features_fn() if args.perceptual_weight > 0 else None
     )
 
-    @functools.partial(jax.jit, static_argnames=("num_samples",))
-    def train_step_image(params, opt_state, img_i, scaffold, num_samples):
+    @functools.partial(
+        jax.jit, static_argnames=("num_samples", "w3_budget")
+    )
+    def train_step_image(params, opt_state, img_i, scaffold, num_samples,
+                         w3_budget=None):
         base = img_i * img_rays
         idx = base + jnp.arange(img_rays)
 
@@ -327,7 +368,7 @@ def main(argv=None):
             )
             depth, alpha, rgb = render_with(
                 params, rays, scaffold, num_samples,
-                image_size=(ds.height, ds.width),
+                image_size=(ds.height, ds.width), w3_budget=w3_budget,
             )
             pred = rgb.reshape(ds.height, ds.width, 3)
             tgt = gt[idx].reshape(
@@ -352,7 +393,8 @@ def main(argv=None):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, mse
 
-    def eval_and_checkpoint(step, params, scaffold, num_samples):
+    def eval_and_checkpoint(step, params, scaffold, num_samples,
+                            w3_budget=None):
         o, d, img_gt = ds.image(0)
         # raster-order rays; the module tile-reorders internally
         # (image_size) so the fused kernels keep their windowed fast path
@@ -363,9 +405,10 @@ def main(argv=None):
             far=jnp.full((o.shape[0],), ds.far, jnp.float32),
         )
         depth, alpha, rgb = jax.jit(
-            render_with, static_argnames=("num_samples", "image_size")
+            render_with,
+            static_argnames=("num_samples", "image_size", "w3_budget"),
         )(params, rays, scaffold, num_samples,
-          image_size=(ds.height, ds.width))
+          image_size=(ds.height, ds.width), w3_budget=w3_budget)
         rgb_img = np.clip(
             np.asarray(rgb).reshape(ds.height, ds.width, 3), 0.0, 1.0
         )
@@ -392,13 +435,15 @@ def main(argv=None):
         return psnr
 
     num_samples = args.num_samples
+    w3_budget = probe_w3_budget(params, num_samples)
     t0 = time.time()
     for step in range(args.n_iter):
         key, k_idx = jax.random.split(key)
         if args.ray_sampling == "image":
             img_i = jax.random.randint(k_idx, (), 0, ds.n_images)
             params, opt_state, loss, mse = train_step_image(
-                params, opt_state, img_i, scaffold, num_samples
+                params, opt_state, img_i, scaffold, num_samples,
+                w3_budget=w3_budget,
             )
         else:
             idx = sample_ray_idx(k_idx, sampling_mode(params))
@@ -416,6 +461,9 @@ def main(argv=None):
             print(f"[fit] step {step}: upsampled grid -> "
                   f"{[g.shape for g in params['grid']]},"
                   f" num_samples={num_samples}")
+            # the grid may now exceed the VMEM cap: re-probe the W3
+            # window budget for whole-image renders
+            w3_budget = probe_w3_budget(params, num_samples)
 
         if step in args.update_scaffold_steps:
             r = args.scaffold_resolution
@@ -436,7 +484,8 @@ def main(argv=None):
                   f" ({(time.time()-t0)/(step+1)*1e3:.0f} ms/it)")
 
         if (step + 1) % args.eval_rate == 0 or step + 1 == args.n_iter:
-            eval_and_checkpoint(step + 1, params, scaffold, num_samples)
+            eval_and_checkpoint(step + 1, params, scaffold, num_samples,
+                                w3_budget=w3_budget)
 
     return params
 
