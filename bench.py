@@ -126,13 +126,15 @@ def run_metric_subprocess(name, metric_desc, unit, env_override=None,
         _error_json(metric_desc, unit, f"metric '{name}' timed out "
                     f">{METRIC_TIMEOUT_S}s (killed)")
         return False
-    emitted = False
-    for line in (p.stdout or "").splitlines():
-        line = line.strip()
-        if line.startswith("{") and line.endswith("}"):
-            print(line)
-            emitted = True
-    if p.returncode != 0 or not emitted:
+    # buffer the JSON lines and only forward them when the run SUCCEEDED:
+    # a run that printed partial output and then died must not leave its
+    # lines in the artifact next to the retry's (duplicate metrics)
+    json_lines = [
+        line.strip()
+        for line in (p.stdout or "").splitlines()
+        if line.strip().startswith("{") and line.strip().endswith("}")
+    ]
+    if p.returncode != 0 or not json_lines:
         if not _is_retry:
             print(
                 f"# metric '{name}' failed (rc={p.returncode}); retrying "
@@ -149,6 +151,11 @@ def run_metric_subprocess(name, metric_desc, unit, env_override=None,
             f"metric '{name}' rc={p.returncode}: {_tail(p.stderr)}",
         )
         return False
+    for line in json_lines:
+        if _is_retry:
+            # mark which kernel layout produced the number
+            line = line[:-1] + ', "note": "packed_rays_off_retry"}'
+        print(line)
     return True
 
 

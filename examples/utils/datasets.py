@@ -459,7 +459,25 @@ def auto_dataset(root: Optional[str], dataset_type: str = "auto", **kwargs):
     ``dataloader/dataset.py:16-39``); ``root=None`` -> synthetic scene."""
     import inspect
 
+    _ALL_LOADERS = (
+        make_synthetic_scene, load_nerf_synthetic, load_llff, load_nsvf,
+        load_co3d,
+    )
+    _KNOWN = set().union(
+        *(set(inspect.signature(f).parameters) for f in _ALL_LOADERS)
+    )
+
     def _call(loader, *args, **kw):
+        # cross-loader options (e.g. keep_frame_sizes with
+        # dataset_type="auto") are dropped when the RESOLVED loader does
+        # not take them — but a kwarg unknown to EVERY loader is a typo
+        # and still raises
+        unknown = set(kw) - _KNOWN
+        if unknown:
+            raise TypeError(
+                f"auto_dataset got kwargs unknown to every loader: "
+                f"{sorted(unknown)}"
+            )
         accepted = set(inspect.signature(loader).parameters)
         return loader(*args, **{k: v for k, v in kw.items()
                                 if k in accepted})

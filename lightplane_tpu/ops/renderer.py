@@ -608,10 +608,16 @@ def suggest_w3_budget(
             tuple(int(s) for s in gs) for gs in color_grid_sizes
         )
 
-    # channel counts as the kernels see them (t1 fold, w3_supported)
-    c_main = int(grid_sizes[0][-1])
+    # Channel counts as the kernels see them: the FORWARD folds trunk
+    # layer 1 into the sampling matmul (pallas_render_fwd's t1 fold), so
+    # its geos use the folded width; the BACKWARD needs the raw sampled
+    # features for dW_t1 and builds its geos from the UNFOLDED channel
+    # count — the two passes can have different lane alignments/window
+    # widths, so each is probed with its own geos.
+    c_raw = int(grid_sizes[0][-1])
+    c_fw = c_raw
     if color_grid_sizes is None and len(decoder_params.n_hidden_trunk) > 1:
-        c_main = int(decoder_params.n_hidden_trunk[1])
+        c_fw = int(decoder_params.n_hidden_trunk[1])
     c_color = (
         int(color_grid_sizes[0][-1]) if color_grid_sizes else None
     )
@@ -628,9 +634,13 @@ def suggest_w3_budget(
         jnp.asarray(0, jnp.int32),
     )
     for budget in ordered:
+        # The real render splits the background tail off the fused cores
+        # (lightplane_renderer runs the W3 kernels with num_samples_inf=0
+        # and the tail as a plain scan), so the probe plans the MAIN
+        # march only — background samples never constrain the fit.
         cfg = _RenderCfg(
             num_samples=int(num_samples),
-            num_samples_inf=int(num_samples_inf),
+            num_samples_inf=0,
             gain=1.0,
             mask_out_of_bounds_samples=False,
             contract_coords=bool(contract_coords),
@@ -649,16 +659,17 @@ def suggest_w3_budget(
         )
         if not rp._w3_mode(cfg):
             return None  # not a W3 config at all
-        pair = rw3.w3_geos(cfg, c_main, c_color)
-        if pair is None:
-            continue  # alignment-infeasible at this channel count
-        w3geos = list(pair[0]) + list(pair[1])
         RB = rp._ray_block(cfg)
         enc = jnp.zeros((R, cfg.n_hidden_color[0]), jnp.float32)
         arrs, _seed, _R, _R_pad = rp._ray_inputs(cfg, geom, enc, RB)
         o_p, d_p, near_p, far_p, gsel_p = rp._plan_cols(arrs)
         fits = True
-        for bw in (False, True):
+        for bw, c_main in ((False, c_fw), (True, c_raw)):
+            pair = rw3.w3_geos(cfg, c_main, c_color)
+            if pair is None:
+                fits = False  # alignment-infeasible at this channel count
+                break
+            w3geos = list(pair[0]) + list(pair[1])
             K = rp._march_chunk(cfg, bw=bw)
             _w0, fit = rw3.w3_plan(
                 cfg, o_p, d_p, near_p, far_p, K, bw, w3geos, RB,
