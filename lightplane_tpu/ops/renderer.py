@@ -549,9 +549,15 @@ def _image_tile_reorder(rays, R, image_size, grid_sizes, color_grid_sizes,
 # on-chip sweep at the 64^3 x 32ch / 256^2 / 256-sample benchmark measured
 # 428k rays/s fwd+bwd at (12, 16, 12) vs 307k at the (16, 24, 16) default
 # (scratch/PERF_NOTES.md) — tighter budgets are faster but fit fewer
-# camera rigs.
+# camera rigs.  The round-5 CPU fit sweep over the 120-pose orbit
+# (scratch/sweep_w3_budget_fit.py — the planner's fit flags are pure
+# host math, backend-independent) mapped the frontier: WX=12 is what
+# breaks the 48/120 poses, while (12, 16, 16) fits ALL 120 at HALF the
+# default's zy*wxC matmul volume (98304 vs 196608) and (16, 16, 16)
+# fits all at 2/3.
 W3_BUDGET_CANDIDATES = (
     (12, 16, 12),
+    (12, 16, 16),
     (16, 16, 16),
     (16, 24, 16),
     (24, 32, 24),
