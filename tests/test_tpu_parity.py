@@ -433,3 +433,70 @@ def test_tpu_grads_vs_f64_oracle(family):
         _compare(a, b, f"{family}/grad_grid{gi}", mean_rel_diff=5e-4)
     for nm, a, b in zip(names, g_true[1:], g_chip[1:]):
         _compare(a, b, f"{family}/grad_{nm}", mean_rel_diff=5e-4)
+
+
+def test_tpu_packed_rays_ab():
+    """Round-5 packed per-ray kernel IO vs the unpacked layout, compiled
+    on Mosaic: same math, different input/output lane layouts — outputs
+    and gradients must agree to f32 roundoff (NOT just bf16 matmul
+    tolerance: both runs do identical matmuls; only the IO differs)."""
+    from lightplane_tpu.ops.kernels import renderer_pallas as rp
+
+    key = jax.random.PRNGKey(21)
+    dp = random_decoder_params(key, input_chn=16, hidden_chn=16)
+    rays = random_rays(key, 128, 2, encoding_dim=16)
+    grid = random_grid(key, 2, 16, 6, "mixed", scale=0.5)
+
+    def run(packed):
+        old = rp.PACKED_RAYS
+        rp.PACKED_RAYS = packed
+        try:
+            def loss(enc, mp, g):
+                r = dataclasses.replace(rays, encoding=enc)
+                d = dataclasses.replace(dp, mlp_params=mp)
+                out = lt.lightplane_renderer(
+                    r, g, d, num_samples=10, gain=1.0, impl="pallas",
+                )
+                k = jax.random.PRNGKey(31)
+                projs = [jax.random.normal(kk, o.shape)
+                         for kk, o in zip(jax.random.split(k, 3), out)]
+                return sum(jnp.sum(p * o) for p, o in zip(projs, out)), out
+
+            (grads, out) = jax.jit(
+                jax.grad(loss, argnums=(0, 1), has_aux=True)
+            )(rays.encoding, dp.mlp_params, grid)
+            return jax.tree_util.tree_map(np.asarray, (out, grads))
+        finally:
+            rp.PACKED_RAYS = old
+
+    a = run(True)
+    b = run(False)
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(x, y, rtol=2e-5, atol=2e-5)
+
+
+def test_tpu_sorted_splatter_x_segmented(monkeypatch):
+    """Round-5 x-segmented supercells on compiled Mosaic (dynamic
+    128-aligned box lane offsets): segmented vs full-x results on the
+    same chip must agree to f32 accumulation roundoff."""
+    monkeypatch.setenv("LIGHTPLANE_SORTED_SUPX", "16")
+    rays = _camera_tile_rays(32, 32, (8, 8), 32)
+    rays = dataclasses.replace(rays, encoding=rays.encoding[:, :16])
+    _splatter_parity(rays, [(1, 24, 24, 24, 16)], "sorted")
+
+
+def test_tpu_w3_frontier_budget():
+    """The (12, 16, 16) all-pose-fitting W3 budget (round-5 CPU frontier
+    sweep) on compiled Mosaic: plan must fit this rig, kernels must match
+    scan."""
+    dp = random_decoder_params(jax.random.PRNGKey(3), input_chn=16,
+                               hidden_chn=32)
+    rays = _w3_fitting_rays()
+    grid = [
+        jax.random.normal(jax.random.PRNGKey(4), (1, 24, 24, 24, 16)) * 0.3
+    ]
+    budget = lt.suggest_w3_budget(rays, grid, dp, num_samples=64)
+    assert budget is not None
+    _renderer_parity(rays, grid, dp, num_samples=64, gain=1.0,
+                     w3_budget=budget)
