@@ -259,9 +259,11 @@ def main(argv=None):
     if args.splatter:
         configs = splatter_exhaustive_configs()
         runner = run_one_splatter_config
+        axes = SPLAT_AXES
     else:
         configs = exhaustive_configs()
         runner = run_one_config
+        axes = AXES
     sel = _shard_select(configs, args.shard)
     if args.limit:
         sel = sel[: args.limit]
@@ -293,7 +295,7 @@ def main(argv=None):
                 json.dump(
                     dict(
                         axes={k: [str(v) for v in vs]
-                              for k, vs in AXES.items()},
+                              for k, vs in axes.items()},
                         n_configs=len(configs),
                         shard=args.shard,
                         seeds=args.seeds,
@@ -312,7 +314,7 @@ def main(argv=None):
     with open(args.report, "w") as f:
         json.dump(
             dict(
-                axes={k: [str(v) for v in vs] for k, vs in AXES.items()},
+                axes={k: [str(v) for v in vs] for k, vs in axes.items()},
                 n_configs=len(configs),
                 shard=args.shard,
                 seeds=args.seeds,
