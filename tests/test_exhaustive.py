@@ -481,15 +481,21 @@ def run_one_splatter_config(cfg, seeds):
             outs[nm] = fwj(*args)
             grads[nm] = gradj(*args, proj)
 
-        try:
-            compare_one(outs["naive"], outs["fused"], f"s{seed}/grid")
-        except AssertionError as e:
-            failures.append(str(e))
-        for name, a, b in zip(names, grads["naive"], grads["fused"]):
+        def cmp(name, a, b):
+            # input_grid grads arrive as a grid-LIST (3 unequal-shaped
+            # planes for triplanes) — compare per sub-grid
+            if isinstance(a, (list, tuple)):
+                for i, (x, y) in enumerate(zip(a, b)):
+                    cmp(f"{name}[{i}]", x, y)
+                return
             try:
-                compare_one(a, b, f"s{seed}/grad_{name}")
+                compare_one(a, b, name)
             except AssertionError as e:
                 failures.append(str(e))
+
+        cmp(f"s{seed}/grid", outs["naive"], outs["fused"])
+        for name, a, b in zip(names, grads["naive"], grads["fused"]):
+            cmp(f"s{seed}/grad_{name}", a, b)
     return failures
 
 
