@@ -681,6 +681,48 @@ def _host_chunk_all_depths(cfg, near, far, K, bw):
     return _host_sched_depths(cfg, near, far, s)
 
 
+# Window planners compute per-ray [R, n_chunks(, K)] bound intermediates.
+# At megapixel ray counts XLA materializes dozens of these (each feeds
+# min- AND max-reduces with relayouts), which dominated the batched-render
+# memory bench (~1.1 GB/image of planner temps).  All planners therefore
+# run through ``_grouped_ray_plan``: groups of ray blocks are mapped with
+# ``lax.map`` so planner temps are bounded by the group size while small
+# ray counts keep the single fully-vectorized graph.
+_PLAN_GROUP_BLOCKS = int(os.environ.get("LIGHTPLANE_PLAN_GROUP_BLOCKS",
+                                        "512"))
+
+
+def _grouped_ray_plan(inner, B, arrays, pad_vals):
+    """Run a per-ray window planner in bounded-memory block groups.
+
+    ``inner(*per_ray_arrays) -> (w0 [n_blocks_g, cols] i32, fits bool)``
+    over any number of ray blocks; ``arrays`` are indexed [R, ...] with R
+    a multiple of the ray block ``B``.  Padded rays use ``pad_vals``
+    (constants placing them mid-volume with zero direction: always
+    in-window, never unfittable).  Returns (w0 [n_blocks, cols],
+    fits_all) for the real blocks only.
+    """
+    R = arrays[0].shape[0]
+    n_blocks = R // B
+    gb = _PLAN_GROUP_BLOCKS
+    if n_blocks <= gb:
+        return inner(*arrays)
+    n_groups = -(-n_blocks // gb)
+    Rg = gb * B
+    pad = n_groups * Rg - R
+
+    def prep(a, v):
+        if pad:
+            a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                        constant_values=v)
+        return a.reshape((n_groups, Rg) + a.shape[1:])
+
+    stacked = tuple(prep(a, v) for a, v in zip(arrays, pad_vals))
+    w0s, fits = jax.lax.map(lambda xs: inner(*xs), stacked)
+    w0 = w0s.reshape(n_groups * gb, -1)[:n_blocks]
+    return w0, jnp.all(fits)
+
+
 def _window_plan(cfg, origins, dirs, near, far, K, bw, winfos, B):
     """Host-side window starts + global fit flag.
 
@@ -692,6 +734,18 @@ def _window_plan(cfg, origins, dirs, near, far, K, bw, winfos, B):
 
     Returns ``(w0 [n_blocks, n_chunks * n_wgrids] int32, fits_all bool)``.
     """
+    R = origins.shape[0]
+    n_blocks = R // B
+    w0, fits_all = _grouped_ray_plan(
+        lambda o, d, nr, fr: _window_plan_inner(
+            cfg, o, d, nr, fr, K, bw, winfos, B),
+        B, (origins, dirs, near, far), (0.0, 0.0, 1.0, 1.0),
+    )
+    w0 = jnp.pad(w0, ((0, (-n_blocks) % 8), (0, (-w0.shape[1]) % 128)))
+    return w0, fits_all
+
+
+def _window_plan_inner(cfg, origins, dirs, near, far, K, bw, winfos, B):
     R = origins.shape[0]
     n_blocks = R // B
     t = _host_chunk_endpoint_depths(cfg, near, far, K, bw)  # [R, nc, 2]
@@ -711,13 +765,11 @@ def _window_plan(cfg, origins, dirs, near, far, K, bw, winfos, B):
         w0_cols.append(w0)
         fits.append(jnp.minimum(hi, wsize - 1) - w0 < win)
     # [n_blocks, nc, Gw] -> [n_blocks, nc * Gw] (chunk-major, grid-minor;
-    # kernel reads w0_ref[pid % 8, ci * Gw + gi]).  Padded to (8, 128)
-    # SMEM tiles so each program only holds its 8-row tile — the full
-    # table overflows the 1MB SMEM at large ray counts.
+    # kernel reads w0_ref[pid % 8, ci * Gw + gi]).  The caller pads to
+    # (8, 128) SMEM tiles so each program only holds its 8-row tile — the
+    # full table overflows the 1MB SMEM at large ray counts.
     w0 = jnp.stack(w0_cols, axis=-1).reshape(n_blocks, -1)
-    w0 = jnp.pad(w0, ((0, (-n_blocks) % 8), (0, (-w0.shape[1]) % 128)))
-    fits_all = jnp.all(jnp.stack(fits))
-    return w0, fits_all
+    return w0, jnp.all(jnp.stack(fits))
 
 
 def _windowable_infos(cfg, infos, cinfos):
@@ -828,6 +880,17 @@ def _w2_plan(cfg, origins, dirs, near, far, K, bw, w2infos, B, w2s):
     ``w2infos``: [(r_ax, c_ax, S_r, S_c), ...] for the w2 grids in
     order.  Returns (w0 [n_blocks_pad8, cols_pad128] int32 SMEM table
     with 2 entries (row0, col0) per (chunk, grid), fits flag)."""
+    n_blocks = origins.shape[0] // B
+    w0, fits_all = _grouped_ray_plan(
+        lambda o, d, nr, fr: _w2_plan_inner(
+            cfg, o, d, nr, fr, K, bw, w2infos, B, w2s),
+        B, (origins, dirs, near, far), (0.0, 0.0, 1.0, 1.0),
+    )
+    w0 = jnp.pad(w0, ((0, (-n_blocks) % 8), (0, (-w0.shape[1]) % 128)))
+    return w0, fits_all
+
+
+def _w2_plan_inner(cfg, origins, dirs, near, far, K, bw, w2infos, B, w2s):
     R = origins.shape[0]
     n_blocks = R // B
     t = _host_chunk_endpoint_depths(cfg, near, far, K, bw)  # [R, nc, 2]
@@ -848,7 +911,6 @@ def _w2_plan(cfg, origins, dirs, near, far, K, bw, w2infos, B, w2s):
             fits.append(jnp.minimum(hi, S - 1) - w0 < win)
     # [n_blocks, nc, 2*G] -> [n_blocks, nc * 2G] chunk-major
     w0 = jnp.stack(w0_cols, axis=-1).reshape(n_blocks, -1)
-    w0 = jnp.pad(w0, ((0, (-n_blocks) % 8), (0, (-w0.shape[1]) % 128)))
     return w0, jnp.all(jnp.stack(fits))
 
 

@@ -221,6 +221,25 @@ def w3_plan(cfg, origins, dirs, near, far, K, bw, geos, B, gsel=None):
 
     Returns ``(w0 [n_blocks_pad8, nc*3*G pad128] int32, fits_all)``.
     """
+    from .renderer_pallas import _grouped_ray_plan
+
+    n_blocks = origins.shape[0] // B
+    if gsel is None:
+        arrays = (origins, dirs, near, far)
+        pads = (0.0, 0.0, 1.0, 1.0)
+        inner = lambda o, d, nr, fr: _w3_plan_inner(
+            cfg, o, d, nr, fr, K, bw, geos, B, None)
+    else:
+        arrays = (origins, dirs, near, far, gsel)
+        pads = (0.0, 0.0, 1.0, 1.0, 0)
+        inner = lambda o, d, nr, fr, gs: _w3_plan_inner(
+            cfg, o, d, nr, fr, K, bw, geos, B, gs)
+    w0, fits_all = _grouped_ray_plan(inner, B, arrays, pads)
+    w0 = jnp.pad(w0, ((0, (-n_blocks) % 8), (0, (-w0.shape[1]) % 128)))
+    return w0, fits_all
+
+
+def _w3_plan_inner(cfg, origins, dirs, near, far, K, bw, geos, B, gsel):
     from .renderer_pallas import (
         _contract_pi,
         _host_chunk_all_depths,
@@ -322,7 +341,6 @@ def w3_plan(cfg, origins, dirs, near, far, K, bw, geos, B, gsel=None):
             lower(fmin, fmax, S_k, wsize, align)
     # [n_blocks, nc, G*3] -> [n_blocks, nc * G * 3] chunk-major
     w0 = jnp.stack(cols, axis=-1).reshape(n_blocks, -1)
-    w0 = jnp.pad(w0, ((0, (-n_blocks) % 8), (0, (-w0.shape[1]) % 128)))
     return w0, jnp.all(jnp.stack(fits))
 
 
