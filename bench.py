@@ -432,7 +432,12 @@ def main_memory():
             n_layers_color=2, input_chn=chn, hidden_chn=HIDDEN,
             color_chn=3, opacity_init_bias=-2.0,
         )
-        order, _ = lt.tile_ray_order(size, size)
+        # 128^2 planes exceed the per-grid VMEM cap -> the render runs
+        # the W3 boxed-DMA kernels, whose window fit needs compact
+        # square pixel tiles (not the W2 default_tile shape)
+        from lightplane_tpu.ops.kernels.renderer_w3 import W3_TILE
+
+        order, _ = lt.tile_ray_order(size, size, tile=W3_TILE)
 
         from lightplane_tpu.utils.cameras import (
             pixel_ray_directions,

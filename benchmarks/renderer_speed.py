@@ -113,6 +113,18 @@ def bench_one(impl, image_size, num_samples, n_reps=5, tile_order=False,
 
     if tile_order and tile is None:
         tile = default_tile(image_size, image_size)
+        # beyond-VMEM grids run the W3 boxed-DMA kernels, which need
+        # compact square-ish pixel tiles (mirrors _image_tile_reorder)
+        from lightplane_tpu.ops.kernels.renderer_pallas import (
+            MAX_CELLS_PER_GRID,
+        )
+
+        if grid_res ** (3 if grid_kind == "voxel" else 2) > \
+                MAX_CELLS_PER_GRID:
+            from lightplane_tpu.ops.kernels.renderer_w3 import W3_TILE
+
+            if image_size % W3_TILE[0] == 0 and image_size % W3_TILE[1] == 0:
+                tile = W3_TILE
     rays, grid, dp = make_inputs(
         jax.random.PRNGKey(0), image_size, tile_order=tile_order, tile=tile,
         grid_kind=grid_kind, res=grid_res,

@@ -2088,7 +2088,7 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
             w3_scr = refs[-n_w3scr:]
             w3_boxes, w3_sems = list(w3_scr[:-1]), w3_scr[-1]
             refs = refs[:-n_w3scr]
-        if PACKED_RAYS:
+        if _packed(cfg):
             rays_ref, seed_ref = refs[:2]
             rest = refs[2:]
         else:
@@ -2125,7 +2125,7 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
                 cgrid_ref = None
         n_w = 2 * (n_t + n_o + n_c)
         mlp_refs = rest[:n_w]
-        if PACKED_RAYS:
+        if _packed(cfg):
             (out_ref,) = rest[n_w:]
         else:
             depth_ref, nlt_ref, feat_ref = rest[n_w:]
@@ -2133,7 +2133,7 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
         mlps = _unpack_mlp_refs(mlp_refs, n_mlp)
         pid = pl.program_id(0)
 
-        if PACKED_RAYS:
+        if _packed(cfg):
             origins, dirs, near, far, gsel, enc = _unpack_ray_refs(
                 cfg, rays_ref
             )
@@ -2309,7 +2309,7 @@ def _build_fw_kernel(cfg, infos, cinfos, n_mlp, t1_folded=False,
             jnp.zeros((B, C_col), jnp.float32),
         )
         nlt, depth_acc, feat_acc = jax.lax.fori_loop(0, n_chunks, body, init)
-        if PACKED_RAYS:
+        if _packed(cfg):
             # single packed store: [0]=depth, [1]=nlt, [8:8+C]=features
             OW = out_ref.shape[1]
             pieces = [
@@ -2422,7 +2422,24 @@ OUT_D = 0       # expected depth
 OUT_NLT = 1     # negative log transmittance
 OUT_FEAT = 8    # features [8:8+C_col]
 
-PACKED_RAYS = os.environ.get("LIGHTPLANE_PACKED_RAYS", "1") == "1"
+# Tri-state: True / False force the layout; None (the "auto" default)
+# packs only at large ray counts.  Packing is a memory/speed trade: ONE
+# [R, 128] table (vs per-component arrays each lane-padded to 128 lanes)
+# saves ~0.4 GB per 512^2 image in the batched-render memory bench, but
+# the kernel-side lane unpacking costs ~7% at the 256^2 headline (652k
+# vs 703k rays/s fwd+bwd, v5e) — so small batches keep the padded
+# per-component arrays (their absolute tax is a few MB) and large ones
+# pack.
+PACKED_RAYS = {"0": False, "1": True}.get(
+    os.environ.get("LIGHTPLANE_PACKED_RAYS", "auto")
+)
+PACK_MIN_RAYS = int(os.environ.get("LIGHTPLANE_PACK_MIN_RAYS", "131072"))
+
+
+def _packed(cfg):
+    if PACKED_RAYS is None:
+        return cfg.num_rays_noise >= PACK_MIN_RAYS
+    return PACKED_RAYS
 
 
 def _pack_width(c_last):
@@ -2430,20 +2447,26 @@ def _pack_width(c_last):
 
 
 def _ray_table(origins, directions, near, far, grid_idx, rays_encoding):
+    # Assembled TRANSPOSED ([lane, R]) then transposed once: every narrow
+    # [R, w] concat operand (w < 128) is physically lane-padded to the
+    # 128-tile (a [R, 1] zeros column costs as much HBM as the whole
+    # table), whereas [w, R] rows are compact.  One [TW, R] concat + one
+    # transpose replaces eight padded operands.
     R = origins.shape[0]
     C_enc = rays_encoding.shape[1]
     TW = _pack_width(C_enc)
     dtype = origins.dtype
-    cols = [
-        origins, directions, near[:, None], far[:, None],
-        grid_idx[:, None].astype(dtype),
-        jnp.zeros((R, PACK_ENC - 9), dtype),
-        rays_encoding.astype(dtype),
+    rows = [
+        origins.T, directions.T,
+        near[None].astype(dtype), far[None].astype(dtype),
+        grid_idx[None].astype(dtype),
+        jnp.zeros((PACK_ENC - 9, R), dtype),
+        rays_encoding.T.astype(dtype),
     ]
     pad = TW - PACK_ENC - C_enc
     if pad:
-        cols.append(jnp.zeros((R, pad), dtype))
-    return jnp.concatenate(cols, axis=1)
+        rows.append(jnp.zeros((pad, R), dtype))
+    return jnp.concatenate(rows, axis=0).T
 
 
 def _tbl_cols(tbl):
@@ -2474,7 +2497,7 @@ def _unpack_ray_refs(cfg, rays_ref):
 def _ray_inputs(cfg, geom, rays_encoding, B):
     directions, origins, near, far, grid_idx, _scaffold, noise_seed = geom
     R = directions.shape[0]
-    if PACKED_RAYS:
+    if _packed(cfg):
         arrs = [
             _ray_table(origins, directions, near, far, grid_idx,
                        rays_encoding)
@@ -2489,10 +2512,10 @@ def _ray_inputs(cfg, geom, rays_encoding, B):
     return arrs, seed, R, R_pad
 
 
-def _plan_cols(arrs):
+def _plan_cols(cfg, arrs):
     """(origins, dirs, near, far, gsel) for the host-side window/W3
     planners, from either ray-input layout."""
-    if PACKED_RAYS:
+    if _packed(cfg):
         return _tbl_cols(arrs[0])
     return (arrs[0], arrs[1], arrs[2][:, 0], arrs[3][:, 0], arrs[4][:, 0])
 
@@ -2619,7 +2642,7 @@ def pallas_render_fwd(cfg, geom, diff):
     inputs = arrs + [seed] + gates + grid_inputs + mlp_tensors
     NR = len(arrs) + 1  # ray inputs + seed (w0 tables insert after these)
 
-    if PACKED_RAYS:
+    if _packed(cfg):
         OW = -(-(OUT_FEAT + C_col) // 128) * 128
         out_shape = [jax.ShapeDtypeStruct((R_pad, OW), jnp.float32)]
         out_specs = [
@@ -2654,7 +2677,7 @@ def pallas_render_fwd(cfg, geom, diff):
 
     if w3geos is not None:
         K = _march_chunk(cfg)
-        o_p, d_p, near_p, far_p, gsel_p = _plan_cols(arrs)
+        o_p, d_p, near_p, far_p, gsel_p = _plan_cols(cfg, arrs)
         w0_3, fits3 = rw3.w3_plan(
             cfg, o_p, d_p, near_p, far_p, K, False,
             w3geos, RB, gsel=gsel_p,
@@ -2716,7 +2739,7 @@ def pallas_render_fwd(cfg, geom, diff):
         return unpack_out(call_general())
 
     K = _march_chunk(cfg)
-    origins_p, dirs_p, near_p, far_p, _gsel_p = _plan_cols(arrs)
+    origins_p, dirs_p, near_p, far_p, _gsel_p = _plan_cols(cfg, arrs)
     w0, fits_all = _window_plan(
         cfg, origins_p, dirs_p, near_p, far_p, K, False, winfos, RB
     )
@@ -2801,7 +2824,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
                 (scr_refs[2 * i], scr_refs[2 * i + 1])
                 for i in range(n_scr // 2)
             ]
-        if PACKED_RAYS:
+        if _packed(cfg):
             rays_ref, cot_ref, seed_ref = refs[:3]
             rest = refs[3:]
         else:
@@ -2869,7 +2892,7 @@ def _build_bw_kernel(cfg, infos, cinfos, n_mlp, wmaps=None, w2maps=None,
             for r in gmlp_refs:
                 r[...] = jnp.zeros_like(r)
 
-        if PACKED_RAYS:
+        if _packed(cfg):
             origins, dirs, near, far, gsel, enc = _unpack_ray_refs(
                 cfg, rays_ref
             )
@@ -3331,22 +3354,29 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
     # value — rewinding a zero nlt against real geometry overflows
     # exp(-nlt_prev) at disparity-background step sizes.  Their gradient
     # contribution is killed by zero-padded cotangents instead.
-    nltf_p, _ = _pad_rays_to_block([nlt_final[:, None]], R, RB)
-    extra = [g_depth[:, None], g_nlt[:, None], g_feat]
-    extra, _ = _pad_rays_to_block(extra, R, RB, mode="constant")
-    if PACKED_RAYS:
-        # one packed cotangent table per the COT_* lane layout
+    if _packed(cfg):
+        # One packed cotangent table per the COT_* lane layout, assembled
+        # transposed ([lane, R] rows are compact; [R, w<128] operands are
+        # physically lane-padded to full tiles) and transposed once.
         CW = -(-(COT_GF + C_col) // 128) * 128
-        cot_cols = [
-            nltf_p[0], extra[0], extra[1],
-            jnp.zeros((R_pad, COT_GF - 3), jnp.float32),
-            extra[2],
+        n_pad = R_pad - R
+        f32 = jnp.float32
+        cot_rows = [
+            jnp.pad(nlt_final.astype(f32)[None], ((0, 0), (0, n_pad)),
+                    mode="edge"),
+            jnp.pad(g_depth.astype(f32)[None], ((0, 0), (0, n_pad))),
+            jnp.pad(g_nlt.astype(f32)[None], ((0, 0), (0, n_pad))),
+            jnp.zeros((COT_GF - 3, R_pad), f32),
+            jnp.pad(g_feat.astype(f32).T, ((0, 0), (0, n_pad))),
         ]
         pad = CW - COT_GF - C_col
         if pad:
-            cot_cols.append(jnp.zeros((R_pad, pad), jnp.float32))
-        arrs = arrs + [jnp.concatenate(cot_cols, axis=1)]
+            cot_rows.append(jnp.zeros((pad, R_pad), f32))
+        arrs = arrs + [jnp.concatenate(cot_rows, axis=0).T]
     else:
+        nltf_p, _ = _pad_rays_to_block([nlt_final[:, None]], R, RB)
+        extra = [g_depth[:, None], g_nlt[:, None], g_feat]
+        extra, _ = _pad_rays_to_block(extra, R, RB, mode="constant")
         arrs = arrs + nltf_p + extra
     n_blocks = R_pad // RB
 
@@ -3486,7 +3516,7 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         from . import renderer_w3 as rw3
 
         K3 = _march_chunk(cfg, bw=True)
-        o_p, d_p, near_p, far_p, gsel_p = _plan_cols(arrs)
+        o_p, d_p, near_p, far_p, gsel_p = _plan_cols(cfg, arrs)
         w0_3, fits3 = rw3.w3_plan(
             cfg, o_p, d_p, near_p, far_p, K3, True,
             w3geos, RB, gsel=gsel_p,
@@ -3561,7 +3591,7 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
         outs = call_general()
     else:
         K = _march_chunk(cfg, bw=True, windowed=True)
-        o_p, d_p, near_p, far_p, _gsel_p = _plan_cols(arrs)
+        o_p, d_p, near_p, far_p, _gsel_p = _plan_cols(cfg, arrs)
         w0, fits_all = _window_plan(
             cfg, o_p, d_p, near_p, far_p, K, True,
             winfos, RB,

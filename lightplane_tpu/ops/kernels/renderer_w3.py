@@ -50,19 +50,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Window extents (cells).  z starts are unaligned (untiled leading dim);
 # y starts are 8-aligned (sublane tiling), so WY covers span + 7 slack;
-# x starts are (128/C)-aligned lane offsets.  Round-4 defaults
-# (256-ray blocks = 16x16-pixel tiles, Z16/Y24/WX16 budgets) were picked
-# by an on-chip sweep at the 64^3 x 32ch / 256^2 / 256-sample benchmark:
-# they fit ALL 120 orbit poses (5 elevations x 24 azimuths,
-# scratch/probe_w3_fit.py) and run 306k rays/s fwd+bwd — 1.9x the old
-# 64-ray/8x8 defaults (164k).  Tighter budgets are faster still (Z12/Y16/
-# WX12 reaches 428k) but fit only 48/120 poses; the env overrides below
-# let a deployment with a constrained camera rig choose them.  The
-# runtime fit flag guards correctness either way.
+# x starts are (128/C)-aligned lane offsets.  Round-5 defaults
+# (256-ray blocks = 16x16-pixel tiles, Z12/Y16/WX16 budgets): the CPU
+# fit-frontier sweep (scratch/sweep_w3_budget_fit.py) showed (12,16,16)
+# fits ALL 120 orbit poses (5 elevations x 24 azimuths) at HALF the
+# round-4 (16,24,16) stencil-matmul volume, and the on-chip measurement
+# at the 64^3 x 32ch / 256^2 / 256-sample benchmark confirms 380k rays/s
+# fwd+bwd vs 291k at the old defaults.  Tighter budgets are faster still
+# (Z12/Y16/WX12 reaches 428k) but fit only 48/120 poses; the env
+# overrides below let a deployment with a constrained camera rig choose
+# them.  The runtime fit flag guards correctness either way.
 import os as _os
 
-W3_Z = int(_os.environ.get("LT_W3_Z", "16"))
-W3_Y = int(_os.environ.get("LT_W3_Y", "24"))
+W3_Z = int(_os.environ.get("LT_W3_Z", "12"))
+W3_Y = int(_os.environ.get("LT_W3_Y", "16"))
 RAY_BLOCK_W3 = int(_os.environ.get("LT_W3_BLOCK", "256"))
 W3_WX_MIN = int(_os.environ.get("LT_W3_WX", "16"))
 

@@ -668,7 +668,7 @@ def suggest_w3_budget(
         RB = rp._ray_block(cfg)
         enc = jnp.zeros((R, cfg.n_hidden_color[0]), jnp.float32)
         arrs, _seed, _R, _R_pad = rp._ray_inputs(cfg, geom, enc, RB)
-        o_p, d_p, near_p, far_p, gsel_p = rp._plan_cols(arrs)
+        o_p, d_p, near_p, far_p, gsel_p = rp._plan_cols(cfg, arrs)
         fits = True
         for bw, c_main in ((False, c_fw), (True, c_raw)):
             pair = rw3.w3_geos(cfg, c_main, c_color)

@@ -39,7 +39,8 @@ dp5 = lt.init_decoder_params(
     n_layers_color=2, input_chn=CHN, hidden_chn=HIDDEN,
     color_chn=3, opacity_init_bias=-2.0,
 )
-order, _ = lt.tile_ray_order(SIZE, SIZE)
+from lightplane_tpu.ops.kernels.renderer_w3 import W3_TILE
+order, _ = lt.tile_ray_order(SIZE, SIZE, tile=W3_TILE)
 
 
 def make_step(mode):
