@@ -73,6 +73,26 @@ CPAD_MAX = 128                # channel capability cap (one lane tile)
 _BOX_BUDGET = 40 * 1024 * 1024   # VMEM bytes for the slab scratch
 _ACC_BUDGET = 6 * 1024 ** 3      # HBM bytes for all padded accumulators
 _BIG = 1.0e9                  # coord sentinel: zero hat weight everywhere
+# Accumulator cell-lane mode: "auto" (default) uses FULL 128-lane cells
+# for SMALL sample counts and packed round16 lanes for large ones; "1" /
+# "0" force.  Full cells let the folded->grid-frame relayout run as the
+# streaming Pallas kernels below (128-aligned shape casts; the XLA
+# retile is a ~22/~40 ms view-independent fixed cost at the 160^3 bench
+# shape — measured +7.5%% fwd+bwd at 1 view), but cost ~1.6x accumulator
+# HBM and box DMA, a net loss at large sample counts (-0.6%% at 16
+# views, +4 GB peak).  The auto threshold: one 128^2 x 96-sample view.
+_CPAD128_ENV = _os.environ.get("LIGHTPLANE_SORTED_CPAD128", "auto")
+_CPAD128_MAX_SAMPLES = int(_os.environ.get(
+    "LIGHTPLANE_SORTED_CPAD128_MAX_SAMPLES", str(2 * 1024 * 1024)))
+
+
+def _use_cpad128(cfg) -> bool:
+    if _CPAD128_ENV in ("0", "1"):
+        return _CPAD128_ENV == "1"
+    R = getattr(cfg, "total_rays", None)
+    if R is None:
+        return False
+    return R * cfg.tot_num_samples <= _CPAD128_MAX_SAMPLES
 _G9 = 9                       # per-ray geometry row width (o, d, near,
                               # far, grid_idx)
 
@@ -231,7 +251,15 @@ def sorted_geos(cfg) -> Optional[List[_SortedGeo]]:
     padded accumulators exceed the HBM budget)."""
     if cfg.out_chn + 1 > CPAD_MAX:
         return None
-    cpad = -(-(cfg.out_chn + 1) // 16) * 16
+    # Packed (round16) channel lanes minimize accumulator HBM and box
+    # DMA; FULL 128-lane cells instead make the folded->grid-frame
+    # relayout expressible as Mosaic-supported 128-aligned shape casts,
+    # enabling the streaming crop/pad kernels below (the XLA retile is a
+    # ~22/~40 ms view-independent fixed cost at the 160^3 bench shape).
+    if _use_cpad128(cfg):
+        cpad = CPAD_MAX
+    else:
+        cpad = -(-(cfg.out_chn + 1) // 16) * 16
     geos = []
     total = 0
     for (b, d, h, w, c) in cfg.output_grid_sizes:
@@ -1007,3 +1035,108 @@ def sorted_splat_bwd(cfg, geo, plan, R, gg, per_sample: bool = False):
     # lanes [CPAD, CPADP) of skipped-group blocks are uninitialized; they
     # are summed here but sliced away before any consumer sees them
     return g_sample.reshape(R, S, CPADP).sum(axis=1)[:, : geo.C]
+
+
+# ---------------------------------------------------------------------------
+# Folded-accumulator <-> grid-frame relayout kernels (round 5)
+#
+# ``crop_acc`` / ``pad_grad_grid`` as XLA reshapes retile the whole
+# folded accumulator ([PZ, PY, PXp*CPAD] lane tiles -> [..., PXp, CPAD]
+# with CPAD % 128 != 0): measured ~22 ms / ~40 ms per call at the 160^3 x
+# 64ch bench shape on v5e — a view-count-INDEPENDENT fixed cost that
+# dominates small splat batches (1 view = 0.56x the A100 anchor before
+# round 5).  These kernels stream the relayout through VMEM instead: one
+# program per (z, 8-y block) rearranges lanes at VPU speed and writes the
+# grid-frame rows directly.
+# ---------------------------------------------------------------------------
+
+
+def _unfold_ok(geo: _SortedGeo) -> bool:
+    """Kernel applicability: single batch element (no halo planes) and a
+    sublane-tileable y extent; others keep the XLA reshape path."""
+    return (geo.B == 1 and geo.Hk % 8 == 0 and geo.Wk >= 1
+            and geo.CPAD % 128 == 0)
+
+
+def crop_acc_fast(geo: _SortedGeo, acc):
+    """:func:`crop_acc` via a streaming Pallas relayout when supported."""
+    if not _unfold_ok(geo):
+        return crop_acc(geo, acc)
+    CPAD, Wk, Hk, Dz = geo.CPAD, geo.Wk, geo.Hk, geo.Dz
+    nyb = Hk // 8
+    rows = 8 * Wk
+    V = Dz * Hk * Wk
+
+    def kernel(acc_ref, feat_ref, w_ref):
+        v = acc_ref[0]                          # [8, PXp*CPAD]
+        v = v[:, : Wk * CPAD].reshape(8 * Wk, CPAD)
+        feat_ref[...] = v[:, : geo.C]
+        w_ref[...] = v[:, geo.C: geo.C1]
+
+    feat, w = pl.pallas_call(
+        kernel,
+        grid=(Dz * nyb,),
+        in_specs=[
+            pl.BlockSpec((1, 8, geo.LX), lambda b: (b // nyb, b % nyb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, geo.C), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            _sds((V, geo.C), jnp.float32, acc),
+            _sds((V, 1), jnp.float32, acc),
+        ],
+        compiler_params=rp._COMPILER_PARAMS_FW,
+        interpret=rp.INTERPRET,
+    )(acc)
+    return feat, w
+
+
+def pad_grad_grid_fast(geo: _SortedGeo, g_feat_grid):
+    """:func:`pad_grad_grid` via a streaming Pallas relayout when
+    supported (zero halo rows/lanes written in-kernel)."""
+    if not _unfold_ok(geo):
+        return pad_grad_grid(geo, g_feat_grid)
+    CPAD, Wk, Hk, Dz = geo.CPAD, geo.Wk, geo.Hk, geo.Dz
+    nyb_out = geo.PY // 8
+    nyb_in = Hk // 8
+    rows = 8 * Wk
+
+    def kernel(gg_ref, out_ref):
+        b = pl.program_id(0)
+        z = b // nyb_out
+        yb = b % nyb_out
+        live = jnp.logical_and(z < Dz, yb < nyb_in)
+        v = jnp.where(live, gg_ref[...], 0.0)   # [8*Wk, C]
+        v = jnp.pad(v, ((0, 0), (0, CPAD - geo.C)))
+        v = v.reshape(8, Wk * CPAD)
+        v = jnp.pad(v, ((0, 0), (0, (geo.PXp - Wk) * CPAD)))
+        out_ref[...] = v[None]
+
+    def in_map(b):
+        z = b // nyb_out
+        yb = b % nyb_out
+        live = jnp.logical_and(z < Dz, yb < nyb_in)
+        flat = jnp.where(live, z * nyb_in + yb, 0)
+        return (flat, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(geo.PZ * nyb_out,),
+        in_specs=[
+            pl.BlockSpec((rows, geo.C), in_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, geo.LX), lambda b: (b // nyb_out, b % nyb_out, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=_sds((geo.PZ, geo.PY, geo.LX), jnp.float32,
+                       g_feat_grid),
+        compiler_params=rp._COMPILER_PARAMS_FW,
+        interpret=rp.INTERPRET,
+    )(g_feat_grid)

@@ -59,6 +59,9 @@ class _SplatCfg:
     output_grid_sizes: tuple       # ((B, D, H, W, C), ...)
     input_grid_sizes: Optional[tuple]
     n_hidden: tuple                # () if no MLP
+    # ray count of the call (static), for sample-count-scaled layout
+    # choices (sorted_geos' CPAD mode); None = unknown
+    total_rays: Optional[int] = None
 
     @property
     def tot_num_samples(self):
@@ -488,7 +491,7 @@ def _sorted_fwd_impl(cfg: _SplatCfg, geom, diff, want_plans: bool = False):
     else:
         accs, plans = jax.lax.scan(body, accs0, xs)
     feats, ws = zip(*[
-        ss.crop_acc(geo, acc) for geo, acc in zip(geos, accs)
+        ss.crop_acc_fast(geo, acc) for geo, acc in zip(geos, accs)
     ])
     cat = lambda parts: (
         parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
@@ -506,7 +509,7 @@ def _sorted_grad_grids(cfg, geos, g_feat_grid):
     off = 0
     for geo in geos:
         n = geo.B * geo.gD * geo.gH * geo.gW
-        ggs.append(ss.pad_grad_grid(geo, g_feat_grid[off: off + n]))
+        ggs.append(ss.pad_grad_grid_fast(geo, g_feat_grid[off: off + n]))
         off += n
     return ggs
 
@@ -845,6 +848,7 @@ def _run_splatter(
         output_grid_sizes=output_grid_size,
         input_grid_sizes=input_grid_sizes,
         n_hidden=mlp_params.n_hidden if mlp_params is not None else (),
+        total_rays=int(rays.directions.shape[0]),
     )
 
     valid_mask = jnp.ones((rays.directions.shape[0],), rays.encoding.dtype)

@@ -249,3 +249,51 @@ def test_sorted_recompute_coords_cover_windows():
                 hi = np.minimum(hi, S_ - 1)
                 ok = (hi < lo) | ((lo >= a0) & (hi < a0 + w))
                 assert ok.all(), (g, q, a0, w, f[~ok][:4])
+
+
+@pytest.mark.parametrize("mode", ["0", "1"])
+def test_sorted_cpad_modes_match_naive(mode):
+    """Both accumulator lane modes — packed round16 CPAD and full
+    128-lane cells (which engage the streaming crop/pad relayout
+    kernels) — produce the naive oracle's splat, fw and bw (interpret
+    mode)."""
+    import lightplane_tpu as lt
+    from lightplane_tpu.ops.kernels import renderer_pallas as rp
+
+    old = ss._CPAD128_ENV
+    old_interp = rp.INTERPRET
+    ss._CPAD128_ENV = mode
+    rp.INTERPRET = jax.default_backend() == "cpu"
+    try:
+        key = jax.random.PRNGKey(5)
+        k1, k2 = jax.random.split(key)
+        R, S, res, chn = 64, 6, 12, 8
+        rays = Rays(
+            directions=jax.random.normal(k1, (R, 3)),
+            origins=jax.random.normal(k2, (R, 3)) * 0.2,
+            grid_idx=jnp.zeros((R,), jnp.int32),
+            near=jnp.full((R,), 0.2),
+            far=jnp.full((R,), 2.0),
+            encoding=jax.random.normal(key, (R, chn)),
+        )
+        sizes = ((1, res, res, res, chn),)
+
+        def run(fn):
+            def loss(enc):
+                r = dataclasses.replace(rays, encoding=enc)
+                (g,) = fn(r, sizes, num_samples=S, return_list=True)
+                return jnp.sum(g * jnp.cos(jnp.arange(g.size)
+                                           .reshape(g.shape))), g
+            (l, g), grad = jax.value_and_grad(loss, has_aux=True)(
+                rays.encoding)
+            return np.asarray(g), np.asarray(grad)
+
+        g_n, gr_n = run(lambda *a, **k: lt.lightplane_splatter(
+            *a, impl="naive", **k))
+        g_s, gr_s = run(lambda *a, **k: lt.lightplane_splatter(
+            *a, impl="sorted", **k))
+        np.testing.assert_allclose(g_s, g_n, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(gr_s, gr_n, rtol=2e-5, atol=2e-5)
+    finally:
+        ss._CPAD128_ENV = old
+        rp.INTERPRET = old_interp
