@@ -279,10 +279,16 @@ def _scaffold_chunk_skip(gates, w3, carry, chunk_fn):
     W3 chunks run unconditionally: their samplers issue async DMAs whose
     issue/wait pairing must not sit under divergent control flow.
     """
-    if gates is None or w3:
+    if gates is None or w3 or not SCAFFOLD_SKIP:
         return chunk_fn(carry)
     occ = sum(jnp.sum(g) for g in gates) > 0.0
     return jax.lax.cond(occ, chunk_fn, lambda c: c, carry)
+
+
+# Whole-chunk skip branch on/off (the per-sample gate MASK always
+# applies — semantics never change).  See docs/benchmark.md's scaffold
+# crossover table for the measured on/off regimes.
+SCAFFOLD_SKIP = os.environ.get("LIGHTPLANE_SCAFFOLD_SKIP", "1") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -2652,9 +2658,10 @@ def pallas_render_fwd(cfg, geom, diff):
 
         def unpack_out(outs):
             (o,) = outs
+            oc = cfg.out_chn or C_col
             return (
                 o[:R, OUT_D], o[:R, OUT_NLT],
-                o[:R, OUT_FEAT: OUT_FEAT + C_col],
+                o[:R, OUT_FEAT: OUT_FEAT + oc],
             )
     else:
         out_shape = [
@@ -2673,7 +2680,8 @@ def pallas_render_fwd(cfg, geom, diff):
 
         def unpack_out(outs):
             depth, nlt, feat = outs
-            return depth[:R, 0], nlt[:R, 0], feat[:R]
+            oc = cfg.out_chn or C_col
+            return depth[:R, 0], nlt[:R, 0], feat[:R, :oc]
 
     if w3geos is not None:
         K = _march_chunk(cfg)
@@ -3369,12 +3377,17 @@ def pallas_render_bwd(cfg, geom, diff, nlt_final, g_out):
             jnp.zeros((COT_GF - 3, R_pad), f32),
             jnp.pad(g_feat.astype(f32).T, ((0, 0), (0, n_pad))),
         ]
-        pad = CW - COT_GF - C_col
+        pad = CW - COT_GF - g_feat.shape[-1]
         if pad:
             cot_rows.append(jnp.zeros((pad, R_pad), f32))
         arrs = arrs + [jnp.concatenate(cot_rows, axis=0).T]
     else:
         nltf_p, _ = _pad_rays_to_block([nlt_final[:, None]], R, RB)
+        if g_feat.shape[-1] < C_col:   # out_chn-cropped primal (fw crop
+            # inside the vjp); pad the cotangent's dropped zero channels
+            g_feat = jnp.pad(
+                g_feat, ((0, 0), (0, C_col - g_feat.shape[-1]))
+            )
         extra = [g_depth[:, None], g_nlt[:, None], g_feat]
         extra, _ = _pad_rays_to_block(extra, R, RB, mode="constant")
         arrs = arrs + nltf_p + extra

@@ -123,6 +123,10 @@ class _RenderCfg:
     # probes the tightest candidate whose window plan fits a given ray
     # batch (the runtime fit flag still guards correctness either way).
     w3_budget: Optional[Tuple[int, int, int]] = None
+    # Rendered feature channels to return (< n_hidden_color[-1] crops
+    # the zero-padded color lanes inside the kernel custom_vjp; None =
+    # full width).  Pallas cores only.
+    out_chn: Optional[int] = None
 
     @property
     def tot_num_samples(self):
@@ -834,10 +838,19 @@ def lightplane_renderer(
         depth = depth + depth_t
         feat = feat + feat_t
     else:
-        core = (
-            _render_core_pallas if _use_pallas(cfg, impl) else _render_core
-        )
-        depth, nlt, feat = core(cfg, geom, diff)
+        use_pallas = _use_pallas(cfg, impl)
+        cfg_run = cfg
+        if use_pallas and decoder_params.color_chn < cfg.n_hidden_color[-1]:
+            # crop the zero-padded color channels INSIDE the custom_vjp:
+            # an outside slice keeps the full-width [R, C_col] features
+            # alive into the loss and its transpose re-materializes a
+            # zero-padded [R, C_col] cotangent — two avoidable
+            # whole-ray-set buffers in batched megapixel renders
+            cfg_run = dataclasses.replace(
+                cfg, out_chn=int(decoder_params.color_chn)
+            )
+        core = _render_core_pallas if use_pallas else _render_core
+        depth, nlt, feat = core(cfg_run, geom, diff)
 
     if decoder_params.color_chn < feat.shape[-1]:
         feat = feat[..., : decoder_params.color_chn]
